@@ -1,0 +1,469 @@
+"""Core engine: init, backend routing, and the compress/decompress funnels.
+
+This module plays the role of src/qatzip.c in the reference: qzInit-style
+device bring-up, per-request chunking (request-level block parallelism,
+reference src/qatzip.c:1505-1594), ordered reassembly, software-failover
+semantics (reference src/qatzip.c:1935-2060, src/qatzip_sw.c:697-846), the
+sticky force-SW mode (src/qatzip_utils.c:1320-1332), and the
+latency-sensitive-mode router (src/qatzip.c:287-297).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+import threading
+import time
+import zlib
+
+import xxhash
+
+from qatzip_tpu import constants as C
+from qatzip_tpu.constants import DataFormatInternal, QzDirection
+from qatzip_tpu.engine import framing
+from qatzip_tpu.engine.backend import Backend, CompressedChunk
+from qatzip_tpu.engine.cpu_backend import CpuBackend
+from qatzip_tpu.formats import gzip_fmt, lz4_fmt, zlib_fmt
+from qatzip_tpu.session import InternalParams, QzSession
+from qatzip_tpu.utils import checksum as ck
+from qatzip_tpu.utils.logging import QZ_DEBUG, QZ_ERROR, QZ_WARN
+
+
+# ---------------------------------------------------------------------------
+# Engine state (analog of the processData_T global, reference
+# src/qatzip_internal.h:210-236) and init (qzInit, src/qatzip.c:630-840)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class EngineState:
+    initialized: bool = False
+    init_status: int = C.QZ_NONE
+    hw_present: bool = False
+    device_kind: str = ""
+    num_devices: int = 0
+    cpu_backend: CpuBackend = dataclasses.field(default_factory=CpuBackend)
+    hw_backend: Backend | None = None
+    # counters (analog of per-thread HW/SW counters, src/qatzip_utils.c:55-183)
+    hw_requests: int = 0
+    sw_requests: int = 0
+
+
+_engine = EngineState()
+_engine_lock = threading.Lock()
+
+
+def _discover_hw() -> tuple[bool, str, int, Backend | None]:
+    """TPU device discovery: the qzInit device-scan analog.
+
+    Returns (present, device_kind, num_devices, backend).  Set
+    QATZIP_TPU_FORCE_SW=1 to simulate a machine without an accelerator.
+    """
+    if os.environ.get("QATZIP_TPU_FORCE_SW", "0") == "1":
+        return False, "", 0, None
+    try:
+        from qatzip_tpu.engine.tpu_backend import TpuBackend
+        backend = TpuBackend.create()
+        if backend is None:
+            return False, "", 0, None
+        return True, backend.device_kind, backend.num_devices, backend
+    except Exception as exc:  # pragma: no cover - environment dependent
+        QZ_WARN("TPU discovery failed: %s", exc)
+        return False, "", 0, None
+
+
+def engine() -> EngineState:
+    return _engine
+
+
+def qz_init_engine(sw_backup: int = C.QZ_SW_BACKUP_DEFAULT) -> int:
+    """Global bring-up.  Returns QZ_OK / QZ_DUPLICATE / QZ_NO_HW /
+    QZ_NOSW_NO_HW following the reference's BACKOUT semantics
+    (src/qatzip.c:554-565)."""
+    with _engine_lock:
+        if _engine.initialized:
+            return C.QZ_DUPLICATE
+        present, kind, ndev, backend = _discover_hw()
+        _engine.hw_present = present
+        _engine.device_kind = kind
+        _engine.num_devices = ndev
+        _engine.hw_backend = backend
+        _engine.initialized = True
+        if present:
+            _engine.init_status = C.QZ_OK
+        elif C.qz_sw_backup_enabled(sw_backup) or C.qz_sw_only(sw_backup):
+            _engine.init_status = C.QZ_NO_HW
+        else:
+            _engine.init_status = C.QZ_NOSW_NO_HW
+        return _engine.init_status
+
+
+def qz_close_engine() -> int:
+    with _engine_lock:
+        _engine.initialized = False
+        _engine.init_status = C.QZ_NONE
+        _engine.hw_backend = None
+        return C.QZ_OK
+
+
+def ensure_init(sess: QzSession) -> int:
+    """Transparent auto-init (reference include/qatzip.h:117-151)."""
+    if not _engine.initialized:
+        sw = sess.params.sw_backup if sess.params else C.QZ_SW_BACKUP_DEFAULT
+        rc = qz_init_engine(sw)
+        if rc < 0:
+            sess.hw_session_stat = rc
+            return rc
+    sess.hw_session_stat = (C.QZ_OK if _engine.hw_present else _engine.init_status)
+    return C.QZ_OK
+
+
+# ---------------------------------------------------------------------------
+# Routing (SW failover + LSM)
+# ---------------------------------------------------------------------------
+def _hw_supports(params: InternalParams, direction: QzDirection) -> bool:
+    be = _engine.hw_backend
+    if be is None:
+        return False
+    supports = getattr(be, "supports", None)
+    if supports is None:
+        return True
+    return supports(params, direction)
+
+
+def choose_backend(sess: QzSession, src_len: int,
+                   direction: QzDirection) -> tuple[Backend, bool]:
+    """Returns (backend, is_sw).  Mirrors the route decisions of
+    qzCompressCrcExt (reference src/qatzip.c:1935-1958)."""
+    p = sess.params
+    if C.qz_sw_only(p.sw_backup) or sess.force_sw:
+        return _engine.cpu_backend, True
+    if not _engine.hw_present or not _hw_supports(p, direction):
+        return _engine.cpu_backend, True
+    if (direction == QzDirection.QZ_DIR_COMPRESS
+            and src_len < p.input_sz_thrshold):
+        return _engine.cpu_backend, True
+    if p.is_sensitive_mode:
+        # LSM: pick the path with the lower recent average latency
+        # (chooseLSMPath, reference src/qatzip.c:287-297).
+        hw_avg = sess.rrt.average() + sess.ppt.average()
+        sw_avg = sess.swt.average()
+        if sw_avg > 0 and (hw_avg == 0 or sw_avg < hw_avg):
+            return _engine.cpu_backend, True
+    return _engine.hw_backend, False
+
+
+# ---------------------------------------------------------------------------
+# Compress funnel (qzCompressCrcExt analog, reference src/qatzip.c:1874-2097)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class OpResult:
+    rc: int = C.QZ_OK
+    data: bytes = b""
+    consumed: int = 0
+    crc: int = 0
+    ext_rc: int = 0
+
+
+def _session_crc_update(kind: str, crc: int, chunk_crc: int, chunk_len: int,
+                        first: bool) -> int:
+    if kind == "crc32":
+        return chunk_crc if first else ck.crc32_combine(crc, chunk_crc, chunk_len)
+    if kind == "adler32":
+        return chunk_crc if first else ck.adler32_combine(crc, chunk_crc, chunk_len)
+    # xxh32 is not combinable; report the last chunk's value
+    return chunk_crc
+
+
+def compress_ext(sess: QzSession, src, last: int = 1,
+                 dest_limit: int | None = None, crc_init: int = 0) -> OpResult:
+    p = sess.params
+    src = bytes(src)
+    res = OpResult(crc=crc_init)
+    fmt = p.data_fmt
+    kind = _engine.cpu_backend.checksum_kind(p)
+
+    if len(src) == 0:
+        # empty input still produces a valid empty member (empty-file
+        # compressed size contract, reference include/qatzip.h:2044)
+        chunks = [b""]
+    else:
+        chunks = [src[i:i + p.hw_buff_sz] for i in range(0, len(src), p.hw_buff_sz)]
+
+    backend, is_sw = choose_backend(sess, len(src), QzDirection.QZ_DIR_COMPRESS)
+    t0 = time.perf_counter()
+    try:
+        compressed = backend.compress_chunks(chunks, p)
+        if not is_sw:
+            _engine.hw_requests += len(chunks)
+    except Exception as exc:
+        # whole-batch failover (reference src/qatzip.c:2042-2060)
+        if not is_sw and C.qz_sw_backup_enabled(p.sw_backup):
+            QZ_WARN("HW compress failed (%s); falling back to SW", exc)
+            backend, is_sw = _engine.cpu_backend, True
+            compressed = backend.compress_chunks(chunks, p)
+        else:
+            QZ_ERROR("compress failed: %s", exc)
+            res.rc = C.QZ_FAIL
+            return res
+    elapsed = time.perf_counter() - t0
+    if p.is_sensitive_mode:
+        per_chunk = elapsed / max(1, len(chunks))
+        if is_sw:
+            # bias regression back to HW (reference src/qatzip_sw.c:916-921)
+            sess.swt.update(per_chunk / 4)
+        else:
+            sess.rrt.update(per_chunk)
+    if is_sw:
+        _engine.sw_requests += len(chunks)
+        res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+
+    out = bytearray()
+    consumed = 0
+    first = crc_init == 0
+    for i, cc in enumerate(compressed):
+        member = framing.frame_chunk(fmt, cc.payload, cc.consumed, cc.checksum)
+        if dest_limit is not None and len(out) + len(member) > dest_limit:
+            if i == 0:
+                res.rc = C.QZ_BUF_ERROR
+                return res
+            break
+        out += member
+        consumed += cc.consumed
+        res.crc = _session_crc_update(kind, res.crc, cc.checksum, cc.consumed,
+                                      first)
+        first = False
+
+    data = bytes(out)
+
+    # LZ4S post-processing hook (reference src/qatzip.c:1804-1839, 2071-2081)
+    if fmt == DataFormatInternal.LZ4S_BK and p.qzCallback is not None:
+        t1 = time.perf_counter()
+        try:
+            data = p.qzCallback(p.qzCallback_external, src[:consumed], data)
+        except Exception as exc:
+            QZ_ERROR("post-process callback failed: %s", exc)
+            res.rc = C.QZ_POST_PROCESS_ERROR
+            res.ext_rc |= C.QZ_POST_PROCESS_FAIL_MASK
+            return res
+        if p.is_sensitive_mode:
+            sess.ppt.update((time.perf_counter() - t1) / max(1, len(chunks)))
+
+    res.data = data
+    res.consumed = consumed
+    sess.total_in += consumed
+    sess.total_out += len(data)
+    sess.last_ext_rc = res.ext_rc
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Decompress funnel (qzDecompressCrcExt analog, reference
+# src/qatzip.c:2446-2671; header walk = checkHeader,
+# src/qatzip_utils.c:1232-1345)
+# ---------------------------------------------------------------------------
+def _inflate_stream(buf: memoryview, off: int) -> tuple[bytes, int, bool]:
+    """Inflate one raw-deflate stream starting at off; returns
+    (data, compressed_len, stream_complete)."""
+    do = zlib.decompressobj(-15)
+    data = do.decompress(bytes(buf[off:]))
+    data += do.flush()
+    used = len(buf) - off - len(do.unused_data)
+    return data, used, do.eof
+
+
+def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpResult:
+    p = sess.params
+    buf = memoryview(bytes(src))
+    n = len(buf)
+    res = OpResult()
+    fmt = p.data_fmt
+    kind = _engine.cpu_backend.checksum_kind(p)
+
+    out = bytearray()
+    pos = 0
+    first = True
+    sess.end_of_last_block = False
+
+    backend, is_sw = choose_backend(sess, n, QzDirection.QZ_DIR_DECOMPRESS)
+    if is_sw:
+        res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+
+    # Batched fast paths first: formats whose member boundaries are known
+    # without inflating.  Everything else uses the sequential walker below.
+    while pos < n:
+        member = _parse_member(buf, pos, p, sess)
+        if member is None:
+            if pos == 0:
+                res.rc = C.QZ_DATA_ERROR
+                return res
+            break  # trailing garbage / partial member: stop at boundary
+        (payload_off, payload_len, hint, expected_ck, total_len, inline) = member
+
+        if inline:
+            # boundary unknown until inflate: decode on host
+            data, used, eof = _inflate_stream(buf, payload_off)
+            total_len = (payload_off - pos) + used + framing.footer_sz(fmt) \
+                if fmt in (DataFormatInternal.DEFLATE_GZIP,
+                           DataFormatInternal.DEFLATE_GZIP_EXT,
+                           DataFormatInternal.DEFLATE_ZLIB) else \
+                (payload_off - pos) + used
+            chunk_ck = (ck.crc32(data) if kind == "crc32"
+                        else ck.adler32(data) if kind == "adler32"
+                        else xxhash.xxh32(data, 0).intdigest())
+            if fmt in (DataFormatInternal.DEFLATE_GZIP,
+                       DataFormatInternal.DEFLATE_GZIP_EXT):
+                fpos = payload_off + used
+                if fpos + 8 <= n:
+                    fcrc, fisize = gzip_fmt.parse_std_gzip_footer(buf, fpos)
+                    if fcrc != chunk_ck or fisize != (len(data) & 0xFFFFFFFF):
+                        res.rc = C.QZ_DATA_ERROR
+                        return res
+            elif fmt == DataFormatInternal.DEFLATE_ZLIB:
+                fpos = payload_off + used
+                if fpos + 4 <= n:
+                    fadl = zlib_fmt.parse_zlib_footer(buf, fpos)
+                    if fadl != chunk_ck:
+                        res.rc = C.QZ_DATA_ERROR
+                        return res
+            eos = eof
+        else:
+            payload = bytes(buf[payload_off:payload_off + payload_len])
+            try:
+                dc = backend.decompress_chunks([payload], [hint], p)[0]
+            except Exception as exc:
+                if not is_sw and C.qz_sw_backup_enabled(p.sw_backup):
+                    QZ_WARN("HW decompress failed (%s); falling back to SW", exc)
+                    res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+                    try:
+                        dc = _engine.cpu_backend.decompress_chunks(
+                            [payload], [hint], p)[0]
+                    except Exception:
+                        res.rc = C.QZ_DATA_ERROR
+                        return res
+                else:
+                    res.rc = C.QZ_DATA_ERROR
+                    return res
+            data, chunk_ck, eos = dc.data, dc.checksum, dc.end_of_stream
+            if expected_ck is not None and chunk_ck != expected_ck:
+                QZ_ERROR("checksum mismatch: got %08x expect %08x",
+                         chunk_ck, expected_ck)
+                res.rc = C.QZ_DATA_ERROR
+                return res
+
+        if dest_limit is not None and len(out) + len(data) > dest_limit:
+            if first:
+                res.rc = C.QZ_BUF_ERROR
+                return res
+            break
+
+        out += data
+        pos += total_len
+        res.crc = _session_crc_update(kind, res.crc, chunk_ck, len(data), first)
+        first = False
+        sess.end_of_last_block = eos
+
+        if p.stop_decompression_stream_end and eos:
+            break
+
+    res.data = bytes(out)
+    res.consumed = pos
+    sess.total_in += pos
+    sess.total_out += len(out)
+    sess.last_ext_rc = res.ext_rc
+    return res
+
+
+def _parse_member(buf: memoryview, pos: int, p: InternalParams,
+                  sess: QzSession):
+    """Parse one member's framing at pos.
+
+    Returns (payload_off, payload_len, out_size_hint, expected_checksum,
+    member_total_len, inline_decode) or None when no further member can be
+    parsed.  ``inline_decode`` means the member boundary is only discoverable
+    by inflating (foreign gzip headers, raw deflate).
+    """
+    fmt = p.data_fmt
+    n = len(buf)
+    avail = n - pos
+
+    if fmt == DataFormatInternal.DEFLATE_4B:
+        if avail < 4:
+            return None
+        (blk,) = struct.unpack_from("<I", buf, pos)
+        if blk > avail - 4:
+            return None
+        # oversized chunk forces sticky SW mode (reference
+        # src/qatzip_utils.c:1320-1332)
+        if blk > C.qz_dest_sz(p.hw_buff_sz):
+            sess.force_sw = True
+        return (pos + 4, blk, -1, None, 4 + blk, False)
+
+    if fmt in (DataFormatInternal.DEFLATE_GZIP, DataFormatInternal.DEFLATE_GZIP_EXT):
+        ext = gzip_fmt.parse_gzipext_header(buf, pos)
+        if ext is not None:
+            ho = pos + gzip_fmt.GZIPEXT_HEADER_SIZE
+            if ext.dest_sz > avail - gzip_fmt.GZIPEXT_HEADER_SIZE:
+                return None
+            fo = ho + ext.dest_sz
+            expected = None
+            if fo + 8 <= n:
+                fcrc, _ = gzip_fmt.parse_std_gzip_footer(buf, fo)
+                expected = fcrc
+            if ext.src_sz > p.hw_buff_sz or ext.dest_sz > C.qz_dest_sz(p.hw_buff_sz):
+                sess.force_sw = True
+            total = gzip_fmt.GZIPEXT_HEADER_SIZE + ext.dest_sz + 8
+            return (ho, ext.dest_sz, ext.src_sz, expected, total, False)
+        if gzip_fmt.is_std_gzip_header(buf, pos):
+            # plain member: find footer by scanning for the next plain header
+            foot = gzip_fmt.find_std_gzip_footer(buf, pos, avail)
+            ho = pos + gzip_fmt.STD_GZIP_HEADER_SIZE
+            plen = foot - ho
+            if plen < 0:
+                return None
+            fcrc, fisize = gzip_fmt.parse_std_gzip_footer(buf, foot)
+            if fisize > p.hw_buff_sz or plen > C.qz_dest_sz(p.hw_buff_sz):
+                sess.force_sw = True
+            return (ho, plen, fisize, fcrc, foot + 8 - pos, False)
+        hdr = gzip_fmt.parse_any_gzip_header(buf, pos)
+        if hdr is not None:
+            # foreign gzip flags: decode inline (the reference forces SW here)
+            sess.force_sw = True
+            return (pos + hdr[0], -1, -1, None, -1, True)
+        return None
+
+    if fmt == DataFormatInternal.DEFLATE_RAW:
+        if avail <= 0:
+            return None
+        return (pos, -1, -1, None, -1, True)
+
+    if fmt == DataFormatInternal.DEFLATE_ZLIB:
+        if not zlib_fmt.verify_zlib_header(buf, pos):
+            return None
+        return (pos + zlib_fmt.STD_ZLIB_HEADER_SIZE, -1, -1, None, -1, True)
+
+    if fmt == DataFormatInternal.LZ4_FH:
+        if avail < lz4_fmt.LZ4_HEADER_SIZE:
+            return None
+        try:
+            hlen, hdr = lz4_fmt.parse_lz4_frame_header(buf, pos)
+        except ValueError:
+            return None
+        foot = lz4_fmt.find_lz4_footer(buf, pos, avail)
+        if foot is None:
+            return None
+        expected = struct.unpack_from("<I", buf, foot + 4)[0]
+        payload_len = foot - (pos + hlen)
+        total = (foot + lz4_fmt.LZ4_FOOTER_SIZE) - pos
+        if (hdr.content_size > p.hw_buff_sz
+                or payload_len > C.qz_dest_sz(p.hw_buff_sz)):
+            sess.force_sw = True
+        return (pos + hlen, payload_len, hdr.content_size, expected, total, False)
+
+    if fmt == DataFormatInternal.LZ4S_BK:
+        if avail < 4:
+            return None
+        (blk,) = struct.unpack_from("<I", buf, pos)
+        if blk > avail - 4:
+            return None
+        return (pos + 4, blk, -1, None, 4 + blk, False)
+
+    return None

@@ -1,0 +1,138 @@
+"""CPU backend: the permanent software fallback path.
+
+Plays the role of qatzip_sw.c in the reference: byte-compatible output
+formats produced with host-only code (zlib for deflate, portable LZ4/LZ4s
+codecs).  Used when the TPU is absent, for sub-threshold inputs, for sticky
+force-SW mode, and as the mid-request failover target (reference
+src/qatzip_sw.c:697-846).
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Sequence
+
+import xxhash
+
+from qatzip_tpu.constants import DataFormatInternal
+from qatzip_tpu.engine import lz4_block
+from qatzip_tpu.engine.backend import Backend, CompressedChunk, DecompressedChunk
+from qatzip_tpu.session import InternalParams
+
+try:  # native C++ inner loops (qatzip_tpu/native); optional
+    from qatzip_tpu.native import qzcore as _native
+except Exception:  # pragma: no cover - native build optional
+    _native = None
+
+
+def _checksum(kind: str, data: bytes) -> int:
+    if kind == "crc32":
+        return zlib.crc32(data) & 0xFFFFFFFF
+    if kind == "adler32":
+        return zlib.adler32(data) & 0xFFFFFFFF
+    if kind == "xxh32":
+        return xxhash.xxh32(data, 0).intdigest()
+    raise ValueError(kind)
+
+
+def _lz4_compress(chunk: bytes) -> bytes:
+    if _native is not None:
+        return _native.lz4_compress_block(chunk)
+    return lz4_block.lz4_block_compress(chunk)
+
+
+def _lz4_decompress(payload: bytes, max_out: int) -> bytes:
+    if _native is not None:
+        return _native.lz4_decompress_block(payload, max_out)
+    return lz4_block.lz4_block_decompress(payload, max_out)
+
+
+def _lz4s_compress(chunk: bytes, mini_match: int) -> bytes:
+    if _native is not None:
+        return _native.lz4s_compress_block(chunk, mini_match)
+    return lz4_block.lz4s_block_compress(chunk, mini_match)
+
+
+class CpuBackend(Backend):
+    name = "cpu"
+    is_hw = False
+
+    def compress_chunks(self, chunks: Sequence[bytes],
+                        params: InternalParams) -> list[CompressedChunk]:
+        fmt = params.data_fmt
+        kind = self.checksum_kind(params)
+        out: list[CompressedChunk] = []
+        if fmt in (DataFormatInternal.DEFLATE_4B, DataFormatInternal.DEFLATE_GZIP,
+                   DataFormatInternal.DEFLATE_GZIP_EXT, DataFormatInternal.DEFLATE_RAW,
+                   DataFormatInternal.DEFLATE_ZLIB):
+            level = params.comp_lvl
+            for chunk in chunks:
+                co = zlib.compressobj(level, zlib.DEFLATED, -15)
+                payload = co.compress(chunk) + co.flush(zlib.Z_FINISH)
+                out.append(CompressedChunk(payload, _checksum(kind, chunk),
+                                           len(chunk)))
+        elif fmt == DataFormatInternal.LZ4_FH:
+            for chunk in chunks:
+                payload = _lz4_compress(chunk)
+                # stored-block escape: never expand beyond the raw chunk
+                if len(payload) >= len(chunk):
+                    from qatzip_tpu.formats.lz4_fmt import gen_lz4_block_header
+                    blk = gen_lz4_block_header(len(chunk), stored=True) + chunk
+                else:
+                    from qatzip_tpu.formats.lz4_fmt import gen_lz4_block_header
+                    blk = gen_lz4_block_header(len(payload), stored=False) + payload
+                out.append(CompressedChunk(blk, _checksum(kind, chunk), len(chunk)))
+        elif fmt == DataFormatInternal.LZ4S_BK:
+            for chunk in chunks:
+                payload = _lz4s_compress(chunk, params.lz4s_mini_match)
+                out.append(CompressedChunk(payload, _checksum(kind, chunk),
+                                           len(chunk)))
+        else:
+            raise ValueError(f"unsupported format {fmt}")
+        return out
+
+    def decompress_chunks(self, payloads: Sequence[bytes],
+                          out_size_hints: Sequence[int],
+                          params: InternalParams) -> list[DecompressedChunk]:
+        fmt = params.data_fmt
+        kind = self.checksum_kind(params)
+        out: list[DecompressedChunk] = []
+        if fmt in (DataFormatInternal.DEFLATE_4B, DataFormatInternal.DEFLATE_GZIP,
+                   DataFormatInternal.DEFLATE_GZIP_EXT, DataFormatInternal.DEFLATE_RAW,
+                   DataFormatInternal.DEFLATE_ZLIB):
+            for payload in payloads:
+                do = zlib.decompressobj(-15)
+                data = do.decompress(payload) + do.flush()
+                eos = do.eof
+                out.append(DecompressedChunk(data, _checksum(kind, data), eos))
+        elif fmt == DataFormatInternal.LZ4_FH:
+            # each payload: block header + block data (single block per chunk)
+            import struct
+            from qatzip_tpu.formats.lz4_fmt import (LZ4_BLK_HEADER_SIZE,
+                                                    LZ4_STOREDBLOCK_FLAG)
+            for payload, hint in zip(payloads, out_size_hints):
+                pos = 0
+                data = bytearray()
+                max_out = hint if hint and hint > 0 else 1 << 31
+                while pos + LZ4_BLK_HEADER_SIZE <= len(payload):
+                    (word,) = struct.unpack_from("<I", payload, pos)
+                    pos += LZ4_BLK_HEADER_SIZE
+                    if word == 0:
+                        break
+                    blk_sz = word & 0x7FFFFFFF
+                    blk = payload[pos:pos + blk_sz]
+                    pos += blk_sz
+                    if word & LZ4_STOREDBLOCK_FLAG:
+                        data += blk
+                    else:
+                        data += _lz4_decompress(bytes(blk), max_out - len(data))
+                data = bytes(data)
+                out.append(DecompressedChunk(data, _checksum(kind, data)))
+        elif fmt == DataFormatInternal.LZ4S_BK:
+            for payload, hint in zip(payloads, out_size_hints):
+                max_out = hint if hint and hint > 0 else 1 << 31
+                data = lz4_block.lz4s_block_decompress(
+                    bytes(payload), max_out, params.lz4s_mini_match)
+                out.append(DecompressedChunk(data, _checksum(kind, data)))
+        else:
+            raise ValueError(f"unsupported format {fmt}")
+        return out

@@ -1,0 +1,50 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the multi-node-without-a-cluster strategy;
+see SURVEY.md §4).  Set QATZIP_TPU_TEST_REAL_TPU=1 to run against real
+devices instead.
+"""
+import os
+import random
+import sys
+
+if os.environ.get("QATZIP_TPU_TEST_REAL_TPU", "0") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xC0FFEE)
+
+
+def make_corpus(rng: random.Random, size: int, kind: str = "text") -> bytes:
+    """Synthetic corpora mirroring test/bt.c's three generators plus a
+    compressible 'text' flavor."""
+    if kind == "iterative":
+        return bytes(i % 256 for i in range(size))
+    if kind == "random":
+        return bytes(rng.getrandbits(8) for _ in range(size))
+    if kind == "constant":
+        return b"A" * size
+    if kind == "text":
+        words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over",
+                 b"lazy", b"dog", b"compression", b"hardware", b"offload"]
+        out = bytearray()
+        while len(out) < size:
+            out += rng.choice(words) + b" "
+        return bytes(out[:size])
+    raise ValueError(kind)
+
+
+@pytest.fixture
+def corpus_factory(rng):
+    return lambda size, kind="text": make_corpus(rng, size, kind)
