@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Headline benchmark: compress+decompress GB/s per chip, gzip L1, 64KB chunks.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+
+The corpus is a deterministic silesia-like mix (binary executables + text)
+built from files baked into the image, since the real silesia.tar cannot be
+fetched in a zero-egress environment.  The baseline is the reference's
+software path — QATzip on a machine without QAT hardware runs exactly
+zlib level-1 (reference src/qatzip_sw.c:77-256) — measured on this host.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+import zlib
+
+
+def build_corpus(target_mb: int = 32) -> bytes:
+    """Deterministic mixed corpus approximating silesia's profile."""
+    sources = []
+    for pattern in ("/usr/bin/g++-12", "/usr/bin/g++", "/usr/bin/x86_64*gcc*",
+                    "/usr/lib/x86_64-linux-gnu/libstdc++.so.6*",
+                    "/usr/lib/x86_64-linux-gnu/libc.so.6",
+                    "/usr/lib/x86_64-linux-gnu/libcrypto.so*",
+                    "/usr/share/doc/*/copyright",
+                    "/etc/ssl/certs/ca-certificates.crt"):
+        sources.extend(sorted(glob.glob(pattern)))
+    out = bytearray()
+    target = target_mb << 20
+    i = 0
+    while len(out) < target and sources:
+        path = sources[i % len(sources)]
+        i += 1
+        try:
+            with open(path, "rb") as f:
+                out += f.read((target - len(out)) if i > len(sources) else 4 << 20)
+        except OSError:
+            continue
+    if len(out) < target:  # fallback: synthetic text
+        blob = (b"the quick brown fox jumps over the lazy dog " * 1000)
+        while len(out) < target:
+            out += blob
+    return bytes(out[:target])
+
+
+def main() -> None:
+    os.environ.setdefault("QATZIP_TPU_LOG_LEVEL", "1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import qatzip_tpu as qz
+    from qatzip_tpu.constants import QzDataFormat
+
+    corpus = build_corpus(int(os.environ.get("QZT_BENCH_MB", "32")))
+    n = len(corpus)
+
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsDeflate()
+    p.common_params.comp_lvl = 1
+    p.common_params.hw_buff_sz = 64 * 1024
+    p.data_fmt = QzDataFormat.QZ_DEFLATE_GZIP_EXT
+    rc = qz.qz_setup_session_deflate(sess, p)
+    assert rc == qz.QZ_OK, rc
+
+    # warmup (compiles kernels)
+    warm = corpus[: 2 << 20]
+    comp_w = qz.qz_compress(sess, warm).data
+    qz.qz_decompress(qz.QzSession(), comp_w)
+
+    reps = int(os.environ.get("QZT_BENCH_REPS", "3"))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = qz.qz_compress(sess, corpus)
+    t_comp = (time.perf_counter() - t0) / reps
+    assert res.rc == qz.QZ_OK
+    comp = res.data
+
+    dsess = qz.QzSession()
+    qz.qz_setup_session_deflate(dsess, p)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        dres = qz.qz_decompress(dsess, comp)
+    t_decomp = (time.perf_counter() - t0) / reps
+    assert dres.rc == qz.QZ_OK and dres.data == corpus
+
+    ours = 2 * n / (t_comp + t_decomp) / 1e9
+
+    # baseline: reference software path == zlib L1 with 64KB chunking
+    def zlib_compress_chunks(data):
+        out = []
+        for i in range(0, len(data), 65536):
+            co = zlib.compressobj(1, zlib.DEFLATED, -15)
+            out.append(co.compress(data[i:i + 65536]) + co.flush())
+        return out
+
+    t0 = time.perf_counter()
+    zchunks = zlib_compress_chunks(corpus)
+    t_zc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    zout = b"".join(zlib.decompressobj(-15).decompress(c) for c in zchunks)
+    t_zd = time.perf_counter() - t0
+    assert zout == corpus
+    baseline = 2 * n / (t_zc + t_zd) / 1e9
+
+    ratio = n / len(comp)
+    zratio = n / sum(len(c) for c in zchunks)
+
+    print(json.dumps({
+        "metric": "compress+decompress GB/s per chip (silesia-like 32MB, gzip L1, 64KB chunks)",
+        "value": round(ours, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(ours / baseline, 3),
+        "detail": {
+            "compress_GBps": round(n / t_comp / 1e9, 4),
+            "decompress_GBps": round(n / t_decomp / 1e9, 4),
+            "ratio": round(ratio, 3),
+            "zlib_l1_ratio": round(zratio, 3),
+            "baseline_GBps": round(baseline, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

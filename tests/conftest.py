@@ -4,12 +4,31 @@ Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 exercised without TPU hardware (the multi-node-without-a-cluster strategy;
 see SURVEY.md §4).  Set QATZIP_TPU_TEST_REAL_TPU=1 to run against real
 devices instead.
+
+On TPU-tunnel machines the axon sitecustomize hook routes *all* XLA
+compiles through the tunnel (PALLAS_AXON_REMOTE_COMPILE=1), which makes
+CPU-only test compiles several times slower; we re-exec pytest once with the
+hook stripped so kernel tests compile locally.
 """
 import os
 import random
 import sys
 
-if os.environ.get("QATZIP_TPU_TEST_REAL_TPU", "0") != "1":
+_REAL_TPU = os.environ.get("QATZIP_TPU_TEST_REAL_TPU", "0") == "1"
+
+if not _REAL_TPU:
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if ".axon_site" in pythonpath and "jax" not in sys.modules:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in pythonpath.split(os.pathsep) if ".axon_site" not in p)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +36,18 @@ if os.environ.get("QATZIP_TPU_TEST_REAL_TPU", "0") != "1":
             flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compilation cache makes repeated test runs cheap
+try:
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 
 import pytest  # noqa: E402
 

