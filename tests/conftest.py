@@ -17,23 +17,19 @@ import sys
 _REAL_TPU = os.environ.get("QATZIP_TPU_TEST_REAL_TPU", "0") == "1"
 
 if not _REAL_TPU:
-    pythonpath = os.environ.get("PYTHONPATH", "")
-    if ".axon_site" in pythonpath and "jax" not in sys.modules:
-        env = dict(os.environ)
-        env["PYTHONPATH"] = os.pathsep.join(
-            p for p in pythonpath.split(os.pathsep) if ".axon_site" not in p)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = env.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            env["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8").strip()
-        os.execve(sys.executable,
-                  [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # must run before the first jax backend initialization (importing jax is
+    # fine; creating a backend is not — pytest plugins import jax early)
+    from jax._src import xla_bridge as _xb
+    assert not _xb._backends, (
+        "jax backend initialized before conftest; cannot force CPU platform")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax as _jax
+    # jax snapshots JAX_PLATFORMS at import; override the live config too
+    _jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
