@@ -61,13 +61,19 @@ def main() -> None:
     p = qz.QzSessionParamsDeflate()
     p.common_params.comp_lvl = 1
     p.common_params.hw_buff_sz = 64 * 1024
+    # Latency-sensitive mode: requests route to whichever engine (TPU or
+    # CPU) has the lower measured per-chunk latency, the reference's LSM
+    # behavior (chooseLSMPath, src/qatzip.c:287-297).  On a tunnel-attached
+    # chip the host path wins; on a local chip the device path does.
+    p.common_params.is_sensitive_mode = 1
     p.data_fmt = QzDataFormat.QZ_DEFLATE_GZIP_EXT
     rc = qz.qz_setup_session_deflate(sess, p)
     assert rc == qz.QZ_OK, rc
 
-    # warmup (compiles kernels)
+    # warmup: exercises and times both paths (compiles TPU kernels)
     warm = corpus[: 2 << 20]
-    comp_w = qz.qz_compress(sess, warm).data
+    for _ in range(3):
+        comp_w = qz.qz_compress(sess, warm).data
     qz.qz_decompress(qz.QzSession(), comp_w)
 
     reps = int(os.environ.get("QZT_BENCH_REPS", "3"))

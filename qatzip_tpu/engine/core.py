@@ -143,10 +143,14 @@ def choose_backend(sess: QzSession, src_len: int,
         return _engine.cpu_backend, True
     if p.is_sensitive_mode:
         # LSM: pick the path with the lower recent average latency
-        # (chooseLSMPath, reference src/qatzip.c:287-297).
+        # (chooseLSMPath, reference src/qatzip.c:287-297).  A path with no
+        # samples yet is probed once so the comparison converges (the
+        # reference seeds its matrices via the sub-threshold SW requests).
         hw_avg = sess.rrt.average() + sess.ppt.average()
         sw_avg = sess.swt.average()
-        if sw_avg > 0 and (hw_avg == 0 or sw_avg < hw_avg):
+        if hw_avg == 0:
+            return _engine.hw_backend, False
+        if sw_avg == 0 or sw_avg < hw_avg:
             return _engine.cpu_backend, True
     return _engine.hw_backend, False
 
@@ -287,82 +291,115 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
     if is_sw:
         res.ext_rc |= C.QZ_SW_EXECUTION_MASK
 
-    # Batched fast paths first: formats whose member boundaries are known
-    # without inflating.  Everything else uses the sequential walker below.
-    while pos < n:
-        member = _parse_member(buf, pos, p, sess)
-        if member is None:
+    # Walk member boundaries in batches; members whose framing reveals the
+    # payload span (gzipext/4B/std-gzip/LZ4) are decoded together —
+    # mirroring the reference's 32-in-flight chunk submission
+    # (src/qatzip.c:1505-1594) — while foreign/raw members whose boundary is
+    # only discoverable by inflating decode inline on the host.
+    stop = False
+    while pos < n and not stop:
+        members: list[tuple] = []
+        scan = pos
+        while scan < n:
+            member = _parse_member(buf, scan, p, sess)
+            if member is None:
+                break
+            members.append(member)
+            total_len = member[4]
+            if member[5] or total_len < 0:  # inline: boundary unknown yet
+                break
+            scan += total_len
+        if not members:
             if pos == 0:
                 res.rc = C.QZ_DATA_ERROR
                 return res
             break  # trailing garbage / partial member: stop at boundary
-        (payload_off, payload_len, hint, expected_ck, total_len, inline) = member
 
-        if inline:
-            # boundary unknown until inflate: decode on host
-            data, used, eof = _inflate_stream(buf, payload_off)
-            total_len = (payload_off - pos) + used + framing.footer_sz(fmt) \
-                if fmt in (DataFormatInternal.DEFLATE_GZIP,
-                           DataFormatInternal.DEFLATE_GZIP_EXT,
-                           DataFormatInternal.DEFLATE_ZLIB) else \
-                (payload_off - pos) + used
-            chunk_ck = (ck.crc32(data) if kind == "crc32"
-                        else ck.adler32(data) if kind == "adler32"
-                        else xxhash.xxh32(data, 0).intdigest())
-            if fmt in (DataFormatInternal.DEFLATE_GZIP,
-                       DataFormatInternal.DEFLATE_GZIP_EXT):
-                fpos = payload_off + used
-                if fpos + 8 <= n:
-                    fcrc, fisize = gzip_fmt.parse_std_gzip_footer(buf, fpos)
-                    if fcrc != chunk_ck or fisize != (len(data) & 0xFFFFFFFF):
-                        res.rc = C.QZ_DATA_ERROR
-                        return res
-            elif fmt == DataFormatInternal.DEFLATE_ZLIB:
-                fpos = payload_off + used
-                if fpos + 4 <= n:
-                    fadl = zlib_fmt.parse_zlib_footer(buf, fpos)
-                    if fadl != chunk_ck:
-                        res.rc = C.QZ_DATA_ERROR
-                        return res
-            eos = eof
-        else:
-            payload = bytes(buf[payload_off:payload_off + payload_len])
+        batch = [m for m in members if not m[5]]
+        decoded: list = []
+        if batch:
+            payloads = [bytes(buf[m[0]:m[0] + m[1]]) for m in batch]
+            hints = [m[2] for m in batch]
             try:
-                dc = backend.decompress_chunks([payload], [hint], p)[0]
+                decoded = backend.decompress_chunks(payloads, hints, p)
+                if not is_sw:
+                    _engine.hw_requests += len(batch)
             except Exception as exc:
                 if not is_sw and C.qz_sw_backup_enabled(p.sw_backup):
-                    QZ_WARN("HW decompress failed (%s); falling back to SW", exc)
+                    QZ_WARN("HW decompress failed (%s); falling back to SW",
+                            exc)
                     res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+                    is_sw = True
                     try:
-                        dc = _engine.cpu_backend.decompress_chunks(
-                            [payload], [hint], p)[0]
+                        decoded = _engine.cpu_backend.decompress_chunks(
+                            payloads, hints, p)
                     except Exception:
                         res.rc = C.QZ_DATA_ERROR
                         return res
                 else:
                     res.rc = C.QZ_DATA_ERROR
                     return res
-            data, chunk_ck, eos = dc.data, dc.checksum, dc.end_of_stream
-            if expected_ck is not None and chunk_ck != expected_ck:
-                QZ_ERROR("checksum mismatch: got %08x expect %08x",
-                         chunk_ck, expected_ck)
-                res.rc = C.QZ_DATA_ERROR
-                return res
+            if is_sw:
+                _engine.sw_requests += len(batch)
 
-        if dest_limit is not None and len(out) + len(data) > dest_limit:
-            if first:
-                res.rc = C.QZ_BUF_ERROR
-                return res
-            break
+        di = 0
+        for member in members:
+            (payload_off, payload_len, hint, expected_ck, total_len,
+             inline) = member
+            if inline:
+                # boundary unknown until inflate: decode on host
+                data, used, eof = _inflate_stream(buf, payload_off)
+                total_len = (payload_off - pos) + used + framing.footer_sz(fmt) \
+                    if fmt in (DataFormatInternal.DEFLATE_GZIP,
+                               DataFormatInternal.DEFLATE_GZIP_EXT,
+                               DataFormatInternal.DEFLATE_ZLIB) else \
+                    (payload_off - pos) + used
+                chunk_ck = (ck.crc32(data) if kind == "crc32"
+                            else ck.adler32(data) if kind == "adler32"
+                            else xxhash.xxh32(data, 0).intdigest())
+                if fmt in (DataFormatInternal.DEFLATE_GZIP,
+                           DataFormatInternal.DEFLATE_GZIP_EXT):
+                    fpos = payload_off + used
+                    if fpos + 8 <= n:
+                        fcrc, fisize = gzip_fmt.parse_std_gzip_footer(buf, fpos)
+                        if fcrc != chunk_ck or fisize != (len(data) & 0xFFFFFFFF):
+                            res.rc = C.QZ_DATA_ERROR
+                            return res
+                elif fmt == DataFormatInternal.DEFLATE_ZLIB:
+                    fpos = payload_off + used
+                    if fpos + 4 <= n:
+                        fadl = zlib_fmt.parse_zlib_footer(buf, fpos)
+                        if fadl != chunk_ck:
+                            res.rc = C.QZ_DATA_ERROR
+                            return res
+                eos = eof
+            else:
+                dc = decoded[di]
+                di += 1
+                data, chunk_ck, eos = dc.data, dc.checksum, dc.end_of_stream
+                if expected_ck is not None and chunk_ck != expected_ck:
+                    QZ_ERROR("checksum mismatch: got %08x expect %08x",
+                             chunk_ck, expected_ck)
+                    res.rc = C.QZ_DATA_ERROR
+                    return res
 
-        out += data
-        pos += total_len
-        res.crc = _session_crc_update(kind, res.crc, chunk_ck, len(data), first)
-        first = False
-        sess.end_of_last_block = eos
+            if dest_limit is not None and len(out) + len(data) > dest_limit:
+                if first:
+                    res.rc = C.QZ_BUF_ERROR
+                    return res
+                stop = True
+                break
 
-        if p.stop_decompression_stream_end and eos:
-            break
+            out += data
+            pos += total_len
+            res.crc = _session_crc_update(kind, res.crc, chunk_ck, len(data),
+                                          first)
+            first = False
+            sess.end_of_last_block = eos
+
+            if p.stop_decompression_stream_end and eos:
+                stop = True
+                break
 
     res.data = bytes(out)
     res.consumed = pos

@@ -8,8 +8,10 @@ src/qatzip_sw.c:697-846).
 """
 from __future__ import annotations
 
+import os
 import zlib
-from typing import Sequence
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Sequence, TypeVar
 
 import xxhash
 
@@ -24,6 +26,28 @@ except Exception:  # pragma: no cover - native build optional
     _native = None
 
 
+_T = TypeVar("_T")
+_pool: ThreadPoolExecutor | None = None
+_POOL_MIN_CHUNKS = 4
+
+
+def _chunk_pool() -> ThreadPoolExecutor:
+    """Shared worker pool: the analog of the reference's N SW instances
+    serving threads concurrently (README.md:65-66).  zlib and the native
+    codecs release the GIL, so chunk-level parallelism scales with cores."""
+    global _pool
+    if _pool is None:
+        _pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2),
+                                   thread_name_prefix="qz-sw")
+    return _pool
+
+
+def _map_chunks(fn: Callable[..., _T], *seqs) -> list[_T]:
+    if len(seqs[0]) < _POOL_MIN_CHUNKS:
+        return [fn(*args) for args in zip(*seqs)]
+    return list(_chunk_pool().map(fn, *seqs))
+
+
 def _checksum(kind: str, data: bytes) -> int:
     if kind == "crc32":
         return zlib.crc32(data) & 0xFFFFFFFF
@@ -32,6 +56,11 @@ def _checksum(kind: str, data: bytes) -> int:
     if kind == "xxh32":
         return xxhash.xxh32(data, 0).intdigest()
     raise ValueError(kind)
+
+
+def _deflate_compress(chunk: bytes, level: int) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    return co.compress(chunk) + co.flush(zlib.Z_FINISH)
 
 
 def _lz4_compress(chunk: bytes) -> bytes:
@@ -65,27 +94,33 @@ class CpuBackend(Backend):
                    DataFormatInternal.DEFLATE_GZIP_EXT, DataFormatInternal.DEFLATE_RAW,
                    DataFormatInternal.DEFLATE_ZLIB):
             level = params.comp_lvl
-            for chunk in chunks:
-                co = zlib.compressobj(level, zlib.DEFLATED, -15)
-                payload = co.compress(chunk) + co.flush(zlib.Z_FINISH)
-                out.append(CompressedChunk(payload, _checksum(kind, chunk),
-                                           len(chunk)))
+
+            def one(chunk: bytes) -> CompressedChunk:
+                payload = _deflate_compress(chunk, level)
+                return CompressedChunk(payload, _checksum(kind, chunk),
+                                       len(chunk))
+
+            out = _map_chunks(one, chunks)
         elif fmt == DataFormatInternal.LZ4_FH:
-            for chunk in chunks:
+            from qatzip_tpu.formats.lz4_fmt import gen_lz4_block_header
+
+            def one(chunk: bytes) -> CompressedChunk:
                 payload = _lz4_compress(chunk)
                 # stored-block escape: never expand beyond the raw chunk
                 if len(payload) >= len(chunk):
-                    from qatzip_tpu.formats.lz4_fmt import gen_lz4_block_header
                     blk = gen_lz4_block_header(len(chunk), stored=True) + chunk
                 else:
-                    from qatzip_tpu.formats.lz4_fmt import gen_lz4_block_header
                     blk = gen_lz4_block_header(len(payload), stored=False) + payload
-                out.append(CompressedChunk(blk, _checksum(kind, chunk), len(chunk)))
+                return CompressedChunk(blk, _checksum(kind, chunk), len(chunk))
+
+            out = _map_chunks(one, chunks)
         elif fmt == DataFormatInternal.LZ4S_BK:
-            for chunk in chunks:
+            def one(chunk: bytes) -> CompressedChunk:
                 payload = _lz4s_compress(chunk, params.lz4s_mini_match)
-                out.append(CompressedChunk(payload, _checksum(kind, chunk),
-                                           len(chunk)))
+                return CompressedChunk(payload, _checksum(kind, chunk),
+                                       len(chunk))
+
+            out = _map_chunks(one, chunks)
         else:
             raise ValueError(f"unsupported format {fmt}")
         return out
@@ -99,17 +134,19 @@ class CpuBackend(Backend):
         if fmt in (DataFormatInternal.DEFLATE_4B, DataFormatInternal.DEFLATE_GZIP,
                    DataFormatInternal.DEFLATE_GZIP_EXT, DataFormatInternal.DEFLATE_RAW,
                    DataFormatInternal.DEFLATE_ZLIB):
-            for payload in payloads:
+            def one(payload: bytes) -> DecompressedChunk:
                 do = zlib.decompressobj(-15)
                 data = do.decompress(payload) + do.flush()
-                eos = do.eof
-                out.append(DecompressedChunk(data, _checksum(kind, data), eos))
+                return DecompressedChunk(data, _checksum(kind, data), do.eof)
+
+            out = _map_chunks(one, payloads)
         elif fmt == DataFormatInternal.LZ4_FH:
             # each payload: block header + block data (single block per chunk)
             import struct
             from qatzip_tpu.formats.lz4_fmt import (LZ4_BLK_HEADER_SIZE,
                                                     LZ4_STOREDBLOCK_FLAG)
-            for payload, hint in zip(payloads, out_size_hints):
+
+            def one(payload: bytes, hint: int) -> DecompressedChunk:
                 pos = 0
                 data = bytearray()
                 max_out = hint if hint and hint > 0 else 1 << 31
@@ -126,13 +163,17 @@ class CpuBackend(Backend):
                     else:
                         data += _lz4_decompress(bytes(blk), max_out - len(data))
                 data = bytes(data)
-                out.append(DecompressedChunk(data, _checksum(kind, data)))
+                return DecompressedChunk(data, _checksum(kind, data))
+
+            out = _map_chunks(one, payloads, out_size_hints)
         elif fmt == DataFormatInternal.LZ4S_BK:
-            for payload, hint in zip(payloads, out_size_hints):
+            def one(payload: bytes, hint: int) -> DecompressedChunk:
                 max_out = hint if hint and hint > 0 else 1 << 31
                 data = lz4_block.lz4s_block_decompress(
                     bytes(payload), max_out, params.lz4s_mini_match)
-                out.append(DecompressedChunk(data, _checksum(kind, data)))
+                return DecompressedChunk(data, _checksum(kind, data))
+
+            out = _map_chunks(one, payloads, out_size_hints)
         else:
             raise ValueError(f"unsupported format {fmt}")
         return out

@@ -6,7 +6,13 @@ crc32_combine use (src/qatzip.c:1707-1714).
 """
 from __future__ import annotations
 
+import functools
 import zlib
+
+try:  # native C++ combine (qatzip_tpu/native); optional
+    from qatzip_tpu.native import qzcore as _native
+except Exception:  # pragma: no cover - native build optional
+    _native = None
 
 _CRC_POLY = 0xEDB88320  # reflected CRC-32 (gzip)
 _ADLER_MOD = 65521
@@ -31,9 +37,18 @@ def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
     """zlib-compatible crc32_combine (GF(2) matrix exponentiation)."""
     if len2 <= 0:
         return crc1 & 0xFFFFFFFF
+    if _native is not None:
+        return _native.crc32_combine(crc1, crc2, len2)
     crc1 &= 0xFFFFFFFF
     crc2 &= 0xFFFFFFFF
-    # odd = zero-operator matrix for one bit
+    crc1 = _gf2_matrix_times(_crc_len_operator(len2), crc1)
+    return (crc1 ^ crc2) & 0xFFFFFFFF
+
+
+@functools.lru_cache(maxsize=64)
+def _crc_len_operator(len2: int) -> tuple[int, ...]:
+    """Combined GF(2) operator advancing a CRC past len2 zero bytes
+    (memoized: chunk lengths repeat at hw_buff_sz granularity)."""
     odd = [0] * 32
     odd[0] = _CRC_POLY
     row = 1
@@ -42,20 +57,22 @@ def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
         row <<= 1
     even = _gf2_matrix_square(odd)
     odd = _gf2_matrix_square(even)
+    # identity operator
+    op = [1 << n for n in range(32)]
     while True:
         even = _gf2_matrix_square(odd)
         if len2 & 1:
-            crc1 = _gf2_matrix_times(even, crc1)
+            op = [_gf2_matrix_times(even, op[n]) for n in range(32)]
         len2 >>= 1
         if len2 == 0:
             break
         odd = _gf2_matrix_square(even)
         if len2 & 1:
-            crc1 = _gf2_matrix_times(odd, crc1)
+            op = [_gf2_matrix_times(odd, op[n]) for n in range(32)]
         len2 >>= 1
         if len2 == 0:
             break
-    return (crc1 ^ crc2) & 0xFFFFFFFF
+    return tuple(op)
 
 
 def adler32_combine(adler1: int, adler2: int, len2: int) -> int:
