@@ -59,8 +59,25 @@ def _checksum(kind: str, data: bytes) -> int:
 
 
 def _deflate_compress(chunk: bytes, level: int) -> bytes:
+    if _native is not None:
+        return _native.deflate_compress(chunk, level)
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     return co.compress(chunk) + co.flush(zlib.Z_FINISH)
+
+
+def _deflate_decompress(payload: bytes, hint: int) -> tuple[bytes, bool]:
+    """Inflate one complete raw-deflate stream; returns (data, eof)."""
+    if _native is not None:
+        max_out = hint if hint and hint > 0 else max(4 * len(payload), 1 << 16)
+        while True:
+            try:
+                data, _used, eof = _native.inflate(payload, max_out)
+                return data, eof
+            except OverflowError:
+                max_out *= 4  # unknown output size: grow and retry
+    do = zlib.decompressobj(-15)
+    data = do.decompress(payload) + do.flush()
+    return data, do.eof
 
 
 def _lz4_compress(chunk: bytes) -> bytes:
@@ -134,12 +151,11 @@ class CpuBackend(Backend):
         if fmt in (DataFormatInternal.DEFLATE_4B, DataFormatInternal.DEFLATE_GZIP,
                    DataFormatInternal.DEFLATE_GZIP_EXT, DataFormatInternal.DEFLATE_RAW,
                    DataFormatInternal.DEFLATE_ZLIB):
-            def one(payload: bytes) -> DecompressedChunk:
-                do = zlib.decompressobj(-15)
-                data = do.decompress(payload) + do.flush()
-                return DecompressedChunk(data, _checksum(kind, data), do.eof)
+            def one(payload: bytes, hint: int) -> DecompressedChunk:
+                data, eof = _deflate_decompress(payload, hint)
+                return DecompressedChunk(data, _checksum(kind, data), eof)
 
-            out = _map_chunks(one, payloads)
+            out = _map_chunks(one, payloads, out_size_hints)
         elif fmt == DataFormatInternal.LZ4_FH:
             # each payload: block header + block data (single block per chunk)
             import struct

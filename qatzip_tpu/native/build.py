@@ -6,16 +6,17 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "qzcore.cpp")
+SRCS = [os.path.join(HERE, "qzcore.cpp"), os.path.join(HERE, "qzdeflate.cpp")]
 OUT = os.path.join(HERE, "libqzcore.so")
 
 
 def build(force: bool = False) -> str | None:
     if (not force and os.path.exists(OUT)
-            and os.path.getmtime(OUT) >= os.path.getmtime(SRC)):
+            and all(os.path.getmtime(OUT) >= os.path.getmtime(s)
+                    for s in SRCS)):
         return OUT
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           SRC, "-o", OUT]
+           *SRCS, "-o", OUT]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as exc:
