@@ -315,24 +315,44 @@ static void gf2_square(uint32_t* dst, const uint32_t* mat) {
     for (int n = 0; n < 32; n++) dst[n] = gf2_times(mat, mat[n]);
 }
 
-uint32_t qz_crc32_combine(uint32_t crc1, uint32_t crc2, int64_t len2) {
-    if (len2 <= 0) return crc1;
+// Builds the combined zero-byte-advance operator for len2; chunk lengths
+// repeat (hw_buff_sz), so a thread-local single-entry cache makes each
+// combine one 32-row matrix-vector product.
+static void crc_len_operator(uint32_t* op, int64_t len2) {
     uint32_t even[32], odd[32];
     odd[0] = 0xEDB88320u;
     uint32_t row = 1;
     for (int n = 1; n < 32; n++) { odd[n] = row; row <<= 1; }
     gf2_square(even, odd);
     gf2_square(odd, even);
+    for (int n = 0; n < 32; n++) op[n] = 1u << n;  // identity
+    uint32_t tmp[32];
     do {
         gf2_square(even, odd);
-        if (len2 & 1) crc1 = gf2_times(even, crc1);
+        if (len2 & 1) {
+            for (int n = 0; n < 32; n++) tmp[n] = gf2_times(even, op[n]);
+            std::memcpy(op, tmp, sizeof(tmp));
+        }
         len2 >>= 1;
         if (!len2) break;
         gf2_square(odd, even);
-        if (len2 & 1) crc1 = gf2_times(odd, crc1);
+        if (len2 & 1) {
+            for (int n = 0; n < 32; n++) tmp[n] = gf2_times(odd, op[n]);
+            std::memcpy(op, tmp, sizeof(tmp));
+        }
         len2 >>= 1;
     } while (len2);
-    return crc1 ^ crc2;
+}
+
+uint32_t qz_crc32_combine(uint32_t crc1, uint32_t crc2, int64_t len2) {
+    if (len2 <= 0) return crc1;
+    static thread_local int64_t cached_len = -1;
+    static thread_local uint32_t cached_op[32];
+    if (len2 != cached_len) {
+        crc_len_operator(cached_op, len2);
+        cached_len = len2;
+    }
+    return gf2_times(cached_op, crc1) ^ crc2;
 }
 
 }  // extern "C"
