@@ -69,6 +69,18 @@ def onehot_lookup(indices: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
+def onehot_lookup1(indices: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[indices] for a 1-D integer table via one-hot MXU matmul.
+
+    Exact for table values < 2^24.  Returns int32 with indices' shape.
+    """
+    k = table.shape[0]
+    oh = (indices[..., None] == jnp.arange(k)).astype(jnp.float32)
+    vals = jnp.einsum("...k,k->...", oh, table.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    return vals.astype(jnp.int32)
+
+
 def onehot_histogram(indices: jnp.ndarray, weights: jnp.ndarray,
                      k: int) -> jnp.ndarray:
     """Histogram of ``indices`` with integer weights as a matmul.
