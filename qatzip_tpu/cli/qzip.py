@@ -94,14 +94,18 @@ def _display_stats(direction, in_sz, out_sz, elapsed):
 
 
 def _out_name(path, args):
-    if args.output:
-        return args.output
+    """makeOutName analog (reference utils/qzip.c:659-700): compressing
+    appends the format suffix even when -o is given; decompressing uses -o
+    verbatim, else strips the recognized suffix."""
     if args.decompress:
+        if args.output:
+            return args.output
         for suf in set(_SUFFIX.values()):
             if path.endswith(suf):
                 return path[: -len(suf)]
         return path + ".out"
-    return path + _SUFFIX.get(args.output_fmt, ".gz")
+    base = args.output if args.output else path
+    return base + _SUFFIX.get(args.output_fmt, ".gz")
 
 
 def _detect_args_from_suffix(path, args):

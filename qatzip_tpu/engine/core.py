@@ -28,6 +28,20 @@ from qatzip_tpu.session import InternalParams, QzSession
 from qatzip_tpu.utils import checksum as ck
 from qatzip_tpu.utils.logging import QZ_DEBUG, QZ_ERROR, QZ_WARN
 
+try:  # native whole-request funnel (qatzip_tpu/native/qzbatch.cpp)
+    from qatzip_tpu.native import qzcore as _native
+except Exception:  # pragma: no cover - native build optional
+    _native = None
+
+# wire-format codes shared with the native batch funnel (qzbatch.cpp enum Fmt)
+_BATCH_FMT_CODE = {
+    DataFormatInternal.DEFLATE_4B: 0,
+    DataFormatInternal.DEFLATE_GZIP: 1,
+    DataFormatInternal.DEFLATE_GZIP_EXT: 2,
+    DataFormatInternal.DEFLATE_RAW: 3,
+    DataFormatInternal.DEFLATE_ZLIB: 4,
+}
+
 
 # ---------------------------------------------------------------------------
 # Engine state (analog of the processData_T global, reference
@@ -193,6 +207,38 @@ def compress_ext(sess: QzSession, src, last: int = 1,
         chunks = [src[i:i + p.hw_buff_sz] for i in range(0, len(src), p.hw_buff_sz)]
 
     backend, is_sw = choose_backend(sess, len(src), QzDirection.QZ_DIR_COMPRESS)
+
+    # Native whole-request funnel: chunking, per-chunk deflate on a worker
+    # pool, framing, checksums and ordered reassembly all happen in one C
+    # call (the reference keeps this loop in C too, src/qatzip.c:1483-1764).
+    if (is_sw and _native is not None and dest_limit is None and len(src) > 0
+            and fmt in _BATCH_FMT_CODE):
+        t0 = time.perf_counter()
+        try:
+            data, comb = _native.batch_deflate_compress(
+                src, p.hw_buff_sz, p.comp_lvl, _BATCH_FMT_CODE[fmt],
+                0 if kind == "crc32" else 1)
+        except ValueError:
+            data = None  # fall through to the generic per-chunk path
+        if data is not None:
+            nchunks = len(chunks)
+            if p.is_sensitive_mode:
+                sess.swt.update((time.perf_counter() - t0) / nchunks / 4)
+            _engine.sw_requests += nchunks
+            res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+            if crc_init == 0:
+                res.crc = comb
+            elif kind == "crc32":
+                res.crc = ck.crc32_combine(crc_init, comb, len(src))
+            else:
+                res.crc = ck.adler32_combine(crc_init, comb, len(src))
+            res.data = data
+            res.consumed = len(src)
+            sess.total_in += len(src)
+            sess.total_out += len(data)
+            sess.last_ext_rc = res.ext_rc
+            return res
+
     t0 = time.perf_counter()
     try:
         compressed = backend.compress_chunks(chunks, p)
@@ -274,6 +320,56 @@ def _inflate_stream(buf: memoryview, off: int) -> tuple[bytes, int, bool]:
     return data, used, do.eof
 
 
+def _batch_inflate_fast(sess: QzSession, buf: memoryview, p: InternalParams,
+                        kind: str, res: OpResult) -> OpResult | None:
+    """Single-native-call decompress of a run of size-framed members.
+
+    Returns a completed OpResult, or None when the request is not eligible
+    (inline members, unknown sizes) or the native path reports any error —
+    the generic path then re-runs the request and produces the exact
+    error/partial-output semantics.
+    """
+    n = len(buf)
+    offs: list[int] = []
+    plens: list[int] = []
+    hints: list[int] = []
+    expected: list[int] = []
+    pos = 0
+    while pos < n:
+        member = _parse_member(buf, pos, p, sess)
+        if member is None:
+            break
+        payload_off, payload_len, hint, expected_ck, total_len, inline = member
+        if inline or hint < 0 or total_len < 0:
+            return None
+        offs.append(payload_off)
+        plens.append(payload_len)
+        hints.append(hint)
+        expected.append(expected_ck if expected_ck is not None else -1)
+        pos += total_len
+    if not offs:
+        return None
+    ck_kind = 0 if kind == "crc32" else 1
+    t0 = time.perf_counter()
+    try:
+        data, comb, last_eof = _native.batch_inflate(
+            bytes(buf), offs, plens, hints, expected, ck_kind)
+    except ValueError:
+        return None  # corrupt/mismatch: generic path reproduces the error
+    if p.is_sensitive_mode:
+        sess.swt.update((time.perf_counter() - t0) / len(offs) / 4)
+    _engine.sw_requests += len(offs)
+    res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+    res.data = data
+    res.consumed = pos
+    res.crc = comb
+    sess.end_of_last_block = last_eof
+    sess.total_in += pos
+    sess.total_out += len(data)
+    sess.last_ext_rc = res.ext_rc
+    return res
+
+
 def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpResult:
     p = sess.params
     buf = memoryview(bytes(src))
@@ -290,6 +386,18 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
     backend, is_sw = choose_backend(sess, n, QzDirection.QZ_DIR_DECOMPRESS)
     if is_sw:
         res.ext_rc |= C.QZ_SW_EXECUTION_MASK
+
+    # Native whole-request inflate funnel: when every member's framing
+    # reveals its exact output size (gzipext/std-gzip isize), all members
+    # inflate in one C call on a worker pool with checksum verification and
+    # block-order CRC combination done natively.
+    if (is_sw and _native is not None and dest_limit is None
+            and not p.stop_decompression_stream_end
+            and fmt in (DataFormatInternal.DEFLATE_GZIP,
+                        DataFormatInternal.DEFLATE_GZIP_EXT)):
+        fast = _batch_inflate_fast(sess, buf, p, kind, res)
+        if fast is not None:
+            return fast
 
     # Walk member boundaries in batches; members whose framing reveals the
     # payload span (gzipext/4B/std-gzip/LZ4) are decoded together —
@@ -320,8 +428,18 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
         if batch:
             payloads = [bytes(buf[m[0]:m[0] + m[1]]) for m in batch]
             hints = [m[2] for m in batch]
+            t0 = time.perf_counter()
             try:
                 decoded = backend.decompress_chunks(payloads, hints, p)
+                # LSM latency matrices update on decompress too, so the
+                # router converges in both directions (reference metric
+                # update, src/qatzip_utils.c:1556-1612)
+                if p.is_sensitive_mode:
+                    per_chunk = (time.perf_counter() - t0) / len(batch)
+                    if is_sw:
+                        sess.swt.update(per_chunk / 4)
+                    else:
+                        sess.rrt.update(per_chunk)
                 if not is_sw:
                     _engine.hw_requests += len(batch)
             except Exception as exc:

@@ -6,7 +6,8 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRCS = [os.path.join(HERE, "qzcore.cpp"), os.path.join(HERE, "qzdeflate.cpp")]
+SRCS = [os.path.join(HERE, "qzcore.cpp"), os.path.join(HERE, "qzdeflate.cpp"),
+        os.path.join(HERE, "qzbatch.cpp")]
 OUT = os.path.join(HERE, "libqzcore.so")
 
 
@@ -16,7 +17,7 @@ def build(force: bool = False) -> str | None:
                     for s in SRCS)):
         return OUT
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           *SRCS, "-o", OUT]
+           "-pthread", *SRCS, "-o", OUT]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as exc:

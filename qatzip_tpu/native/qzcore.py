@@ -38,6 +38,29 @@ _lib.qz_inflate.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                             ctypes.c_void_p, ctypes.c_int64,
                             ctypes.POINTER(ctypes.c_int64),
                             ctypes.POINTER(ctypes.c_int32)]
+_lib.qz_crc32.restype = ctypes.c_uint32
+_lib.qz_crc32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int64]
+_lib.qz_adler32.restype = ctypes.c_uint32
+_lib.qz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int64]
+_lib.qz_adler32_combine.restype = ctypes.c_uint32
+_lib.qz_adler32_combine.argtypes = [ctypes.c_uint32, ctypes.c_uint32,
+                                    ctypes.c_int64]
+_lib.qz_batch_deflate_compress.restype = ctypes.c_int64
+_lib.qz_batch_deflate_compress.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32)]
+_lib.qz_batch_inflate.restype = ctypes.c_int64
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_lib.qz_batch_inflate.argtypes = [
+    ctypes.c_char_p, _I64P, _I64P, _I64P, _I64P, _I64P,
+    ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+    ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+
+# wire-format codes shared with qzbatch.cpp (enum Fmt)
+BATCH_FMT = {"4B": 0, "gzip": 1, "gzipext": 2, "raw": 3, "zlib": 4}
+_BATCH_HDR = {0: 4, 1: 10, 2: 24, 3: 0, 4: 2}
+_BATCH_FTR = {0: 0, 1: 8, 2: 8, 3: 0, 4: 4}
 
 
 def lz4_compress_block(data: bytes) -> bytes:
@@ -89,6 +112,65 @@ def deflate_compress(data: bytes, level: int = 1) -> bytes:
     if n < 0:
         raise ValueError("deflate compress failed")
     return buf.raw[:n]
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    return _lib.qz_crc32(crc & 0xFFFFFFFF, data, len(data))
+
+
+def adler32(data: bytes, adler: int = 1) -> int:
+    return _lib.qz_adler32(adler & 0xFFFFFFFF, data, len(data))
+
+
+def adler32_combine(a1: int, a2: int, len2: int) -> int:
+    return _lib.qz_adler32_combine(a1 & 0xFFFFFFFF, a2 & 0xFFFFFFFF, len2)
+
+
+def batch_deflate_compress(data: bytes, chunk_sz: int, level: int,
+                           fmt_code: int, ck_kind: int) -> tuple[bytes, int]:
+    """Whole-request compress: chunk, deflate, frame, checksum, reassemble —
+    one native call on a worker pool.  Returns (framed_bytes, combined_crc).
+    """
+    n = len(data)
+    nchunks = (n + chunk_sz - 1) // chunk_sz
+    slot = (_BATCH_HDR[fmt_code] + _BATCH_FTR[fmt_code]
+            + chunk_sz + (chunk_sz >> 3) + 1024)
+    cap = nchunks * slot
+    buf = ctypes.create_string_buffer(cap)
+    crc = ctypes.c_uint32(0)
+    total = _lib.qz_batch_deflate_compress(data, n, chunk_sz, level, fmt_code,
+                                           ck_kind, buf, cap, slot,
+                                           ctypes.byref(crc))
+    if total < 0:
+        raise ValueError("batch compress failed")
+    return buf.raw[:total], crc.value
+
+
+def batch_inflate(comp: bytes, offs: list[int], plens: list[int],
+                  hints: list[int], expected: list[int],
+                  ck_kind: int) -> tuple[bytes, int, bool]:
+    """Batch-inflate independent members at known output sizes.
+
+    expected[i] < 0 skips that member's checksum verification.  Returns
+    (output, combined_crc, last_member_bfinal).  Raises ValueError on any
+    corrupt/mismatching member (caller falls back to the generic path).
+    """
+    nm = len(offs)
+    out_offs, acc = [], 0
+    for h in hints:
+        out_offs.append(acc)
+        acc += h
+    buf = ctypes.create_string_buffer(acc if acc > 0 else 1)
+    arr = ctypes.c_int64 * nm
+    crc = ctypes.c_uint32(0)
+    eof = ctypes.c_int32(0)
+    total = _lib.qz_batch_inflate(comp, arr(*offs), arr(*plens),
+                                  arr(*out_offs), arr(*hints), arr(*expected),
+                                  nm, ck_kind, buf, ctypes.byref(crc),
+                                  ctypes.byref(eof))
+    if total < 0:
+        raise ValueError(f"batch inflate failed ({total})")
+    return buf.raw[:total], crc.value, bool(eof.value)
 
 
 def inflate(data: bytes, max_out: int) -> tuple[bytes, int, bool]:

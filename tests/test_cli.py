@@ -82,7 +82,8 @@ def test_cli_zstd_pipeline(workdir):
     produces standard Zstd frames."""
     import zstandard
     data = (workdir / "file.bin").read_bytes()
-    r = run_qzip(["-k", "-A", "zstd", "-o", str(workdir / "file.zst"),
+    # -o appends the format suffix like the reference (utils/qzip.c:659-680)
+    r = run_qzip(["-k", "-A", "zstd", "-o", str(workdir / "file"),
                   str(workdir / "file.bin")])
     assert r.returncode == 0, r.stderr
     dctx = zstandard.ZstdDecompressor()
