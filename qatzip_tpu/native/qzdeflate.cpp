@@ -314,7 +314,7 @@ struct LevelParams { int chain; int good; int lazy; };
 // at level N stays <= zlib level N (the reference SW path's codec)
 const LevelParams g_levels[10] = {
     {0, 0, 0},      // unused
-    {4, 8, 0},      // L1: greedy (zlib L1: chain 4)
+    {1, 4, 0},      // L1: greedy single-probe (head table only, no chains)
     {8, 16, 0},     // L2
     {32, 32, 0},    // L3
     {16, 16, 1},    // L4: lazy from here (zlib switches at 4)
