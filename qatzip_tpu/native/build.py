@@ -17,7 +17,7 @@ def build(force: bool = False) -> str | None:
                     for s in SRCS)):
         return OUT
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", *SRCS, "-o", OUT]
+           "-pthread", *SRCS, "-lz", "-o", OUT]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as exc:
