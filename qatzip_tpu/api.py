@@ -23,6 +23,24 @@ from qatzip_tpu.session import (
     QzSessionParamsLZ4,
     QzSessionParamsLZ4S,
 )
+from qatzip_tpu.memory import (  # noqa: F401
+    qz_free,
+    qz_malloc,
+    qz_mem_find_addr,
+)
+from qatzip_tpu.metadata import (  # noqa: F401
+    QzMetadataBlob,
+    qz_allocate_metadata,
+    qz_compress_with_metadata_ext,
+    qz_decompress_with_metadata_ext,
+    qz_free_metadata,
+    qz_metadata_block_get_crc32,
+    qz_metadata_block_get_crc64,
+    qz_metadata_block_read,
+    qz_metadata_block_write,
+)
+from qatzip_tpu.utils import checksum as ck
+from qatzip_tpu.utils.checksum import Crc32Config, Crc64Config  # noqa: F401
 from qatzip_tpu.utils.logging import set_log_level as qz_set_log_level  # noqa: F401
 
 __all__ = [
@@ -31,11 +49,24 @@ __all__ = [
     "qz_setup_session", "qz_setup_session_deflate", "qz_setup_session_deflate_ext",
     "qz_setup_session_lz4", "qz_setup_session_lz4s",
     "qz_compress", "qz_compress_crc", "qz_compress_ext",
+    "qz_compress_crc64", "qz_compress_crc64_ext",
     "qz_decompress", "qz_decompress_crc", "qz_decompress_ext",
+    "qz_decompress_crc64", "qz_decompress_crc64_ext",
     "qz_max_compressed_length", "qz_get_status", "qz_get_defaults_deflate",
     "qz_set_defaults_deflate", "qz_get_defaults_lz4", "qz_set_defaults_lz4",
     "qz_get_defaults_lz4s", "qz_set_defaults_lz4s",
+    "qz_get_defaults", "qz_set_defaults",
+    "qz_get_defaults_deflate_ext", "qz_set_defaults_deflate_ext",
     "qz_get_deflate_end_of_stream", "qz_set_log_level",
+    "qz_get_session_crc32_config", "qz_set_session_crc32_config",
+    "qz_get_session_crc64_config", "qz_set_session_crc64_config",
+    "qz_get_software_component_count", "qz_get_software_component_version_list",
+    "qz_malloc", "qz_free", "qz_mem_find_addr",
+    "QzMetadataBlob", "qz_allocate_metadata", "qz_free_metadata",
+    "qz_compress_with_metadata_ext", "qz_decompress_with_metadata_ext",
+    "qz_metadata_block_read", "qz_metadata_block_write",
+    "qz_metadata_block_get_crc32", "qz_metadata_block_get_crc64",
+    "Crc32Config", "Crc64Config",
     "compress", "decompress",
 ]
 
@@ -186,6 +217,27 @@ def qz_compress_crc(sess: QzSession, src, last: int = 1,
                            crc_init=crc_init)
 
 
+def qz_compress_crc64_ext(sess: QzSession, src, last: int = 1,
+                          crc64: int = 0,
+                          dest_limit: int | None = None) -> OpResult:
+    """qzCompressCrc64Ext analog: the session-configured CRC64 of the
+    consumed input (continuing from ``crc64``; pass 0 to start fresh) is
+    returned in ``res.crc``.  Default config is ECMA-182 Normal
+    (reference include/qatzip.h:753-765)."""
+    res = qz_compress_ext(sess, src, last=last, dest_limit=dest_limit)
+    if res.rc != C.QZ_OK:
+        return res
+    cfg = getattr(sess, "crc64_config", None)
+    consumed = bytes(src)[: res.consumed]
+    res.crc = ck.crc64_update(consumed, crc64, cfg, first=(crc64 == 0))
+    return res
+
+
+def qz_compress_crc64(sess: QzSession, src, last: int = 1,
+                      crc64: int = 0) -> OpResult:
+    return qz_compress_crc64_ext(sess, src, last=last, crc64=crc64)
+
+
 def qz_decompress_ext(sess: QzSession, src,
                       dest_limit: int | None = None) -> OpResult:
     if not isinstance(sess, QzSession) or src is None:
@@ -208,6 +260,22 @@ def qz_decompress(sess: QzSession, src,
 def qz_decompress_crc(sess: QzSession, src,
                       dest_limit: int | None = None) -> OpResult:
     return qz_decompress_ext(sess, src, dest_limit=dest_limit)
+
+
+def qz_decompress_crc64_ext(sess: QzSession, src, crc64: int = 0,
+                            dest_limit: int | None = None) -> OpResult:
+    """qzDecompressCrc64Ext analog: session-configured CRC64 of the
+    produced output returned in ``res.crc`` (continuing from ``crc64``)."""
+    res = qz_decompress_ext(sess, src, dest_limit=dest_limit)
+    if res.rc != C.QZ_OK:
+        return res
+    cfg = getattr(sess, "crc64_config", None)
+    res.crc = ck.crc64_update(res.data, crc64, cfg, first=(crc64 == 0))
+    return res
+
+
+def qz_decompress_crc64(sess: QzSession, src, crc64: int = 0) -> OpResult:
+    return qz_decompress_crc64_ext(sess, src, crc64=crc64)
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +384,147 @@ def qz_set_defaults_lz4s(params: QzSessionParamsLZ4S) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Session CRC configuration (reference include/qatzip.h:2722-2861)
+# ---------------------------------------------------------------------------
+def qz_set_session_crc32_config(sess: QzSession, config: Crc32Config) -> int:
+    """qzSetSessionCrc32Config analog; requires a set-up session."""
+    if not isinstance(sess, QzSession) or not isinstance(config, Crc32Config):
+        return C.QZ_PARAMS
+    if sess.params is None:
+        return C.QZ_FAIL
+    sess.crc32_config = dataclasses.replace(config)
+    return C.QZ_OK
+
+
+def qz_get_session_crc32_config(sess: QzSession):
+    """qzGetSessionCrc32Config analog: (rc, config)."""
+    if not isinstance(sess, QzSession):
+        return C.QZ_PARAMS, None
+    if sess.params is None:
+        return C.QZ_FAIL, None
+    cfg = getattr(sess, "crc32_config", None) or Crc32Config()
+    return C.QZ_OK, dataclasses.replace(cfg)
+
+
+def qz_set_session_crc64_config(sess: QzSession, config: Crc64Config) -> int:
+    """qzSetSessionCrc64Config analog; requires a set-up session."""
+    if not isinstance(sess, QzSession) or not isinstance(config, Crc64Config):
+        return C.QZ_PARAMS
+    if sess.params is None:
+        return C.QZ_FAIL
+    sess.crc64_config = dataclasses.replace(config)
+    return C.QZ_OK
+
+
+def qz_get_session_crc64_config(sess: QzSession):
+    """qzGetSessionCrc64Config analog: (rc, config).  Sessions default to
+    ECMA-182 Normal on creation (reference include/qatzip.h:750-765)."""
+    if not isinstance(sess, QzSession):
+        return C.QZ_PARAMS, None
+    if sess.params is None:
+        return C.QZ_FAIL, None
+    cfg = getattr(sess, "crc64_config", None) or Crc64Config()
+    return C.QZ_OK, dataclasses.replace(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Generic (legacy) defaults + DeflateExt defaults
+# ---------------------------------------------------------------------------
+_defaults_deflate_ext = QzSessionParamsDeflateExt()
+
+
+def qz_get_defaults() -> QzSessionParams:
+    """qzGetDefaults analog (legacy unified-params struct)."""
+    d = _defaults_deflate
+    return QzSessionParams(
+        comp_lvl=d.common_params.comp_lvl,
+        sw_backup=d.common_params.sw_backup,
+        hw_buff_sz=d.common_params.hw_buff_sz,
+        strm_buff_sz=d.common_params.strm_buff_sz,
+        input_sz_thrshold=d.common_params.input_sz_thrshold,
+        req_cnt_thrshold=d.common_params.req_cnt_thrshold,
+        wait_cnt_thrshold=d.common_params.wait_cnt_thrshold,
+        max_forks=d.common_params.max_forks,
+        direction=d.common_params.direction,
+        comp_algorithm=d.common_params.comp_algorithm,
+        huffman_hdr=d.huffman_hdr, data_fmt=d.data_fmt)
+
+
+def qz_set_defaults(params: QzSessionParams) -> int:
+    """qzSetDefaults analog: folds the legacy struct into the deflate
+    defaults (the reference's unified struct predates per-algo params)."""
+    global _defaults_deflate
+    p = QzSessionParamsDeflate(
+        common_params=S.QzSessionParamsCommon(
+            direction=params.direction, comp_lvl=params.comp_lvl,
+            comp_algorithm=params.comp_algorithm, max_forks=params.max_forks,
+            sw_backup=params.sw_backup, hw_buff_sz=params.hw_buff_sz,
+            strm_buff_sz=params.strm_buff_sz,
+            input_sz_thrshold=params.input_sz_thrshold,
+            req_cnt_thrshold=params.req_cnt_thrshold,
+            wait_cnt_thrshold=params.wait_cnt_thrshold),
+        huffman_hdr=params.huffman_hdr, data_fmt=params.data_fmt)
+    if not S.validate_params_deflate(p):
+        return C.QZ_PARAMS
+    _defaults_deflate = p
+    return C.QZ_OK
+
+
+def qz_get_defaults_deflate_ext() -> QzSessionParamsDeflateExt:
+    return dataclasses.replace(_defaults_deflate_ext)
+
+
+def qz_set_defaults_deflate_ext(params: QzSessionParamsDeflateExt) -> int:
+    global _defaults_deflate_ext
+    if not S.validate_params_deflate(params.deflate_params):
+        return C.QZ_PARAMS
+    _defaults_deflate_ext = dataclasses.replace(params)
+    return C.QZ_OK
+
+
+# ---------------------------------------------------------------------------
+# Software component introspection (reference include/qatzip.h:2629-2678;
+# the reference stubs these to QZ_FAIL on Linux — implemented for real here)
+# ---------------------------------------------------------------------------
+def _software_components() -> list[tuple[str, str]]:
+    import zlib as _zlib
+
+    comps = [("qatzip_tpu", C.QATZIP_TPU_VERSION),
+             ("zlib", getattr(_zlib, "ZLIB_RUNTIME_VERSION", _zlib.ZLIB_VERSION))]
+    try:
+        import xxhash as _xx
+        comps.append(("xxhash", _xx.VERSION))
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        import jax as _jax
+        comps.append(("jax", _jax.__version__))
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        import numpy as _np
+        comps.append(("numpy", _np.__version__))
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        from qatzip_tpu.native import qzcore as _n  # noqa: F401
+        comps.append(("qzcore", "native"))
+    except Exception:
+        pass
+    return comps
+
+
+def qz_get_software_component_count() -> tuple[int, int]:
+    """qzGetSoftwareComponentCount analog: (rc, num_elem)."""
+    return C.QZ_OK, len(_software_components())
+
+
+def qz_get_software_component_version_list() -> tuple[int, list[tuple[str, str]]]:
+    """qzGetSoftwareComponentVersionList analog: (rc, [(name, version)])."""
+    return C.QZ_OK, _software_components()
+
+
+# ---------------------------------------------------------------------------
 # Pythonic one-shot helpers
 # ---------------------------------------------------------------------------
 def _session_for(algorithm: str, fmt: QzDataFormat | None, level: int,
@@ -388,3 +597,34 @@ qzMaxCompressedLength = qz_max_compressed_length
 qzGetStatus = qz_get_status
 qzSetLogLevel = qz_set_log_level
 qzGetDeflateEndOfStream = qz_get_deflate_end_of_stream
+qzCompressCrc64 = qz_compress_crc64
+qzCompressCrc64Ext = qz_compress_crc64_ext
+qzDecompressCrc64 = qz_decompress_crc64
+qzDecompressCrc64Ext = qz_decompress_crc64_ext
+qzGetDefaults = qz_get_defaults
+qzSetDefaults = qz_set_defaults
+qzGetDefaultsDeflate = qz_get_defaults_deflate
+qzSetDefaultsDeflate = qz_set_defaults_deflate
+qzGetDefaultsDeflateExt = qz_get_defaults_deflate_ext
+qzSetDefaultsDeflateExt = qz_set_defaults_deflate_ext
+qzGetDefaultsLZ4 = qz_get_defaults_lz4
+qzSetDefaultsLZ4 = qz_set_defaults_lz4
+qzGetDefaultsLZ4S = qz_get_defaults_lz4s
+qzSetDefaultsLZ4S = qz_set_defaults_lz4s
+qzSetSessionCrc32Config = qz_set_session_crc32_config
+qzGetSessionCrc32Config = qz_get_session_crc32_config
+qzSetSessionCrc64Config = qz_set_session_crc64_config
+qzGetSessionCrc64Config = qz_get_session_crc64_config
+qzGetSoftwareComponentCount = qz_get_software_component_count
+qzGetSoftwareComponentVersionList = qz_get_software_component_version_list
+qzMalloc = qz_malloc
+qzFree = qz_free
+qzMemFindAddr = qz_mem_find_addr
+qzAllocateMetadata = qz_allocate_metadata
+qzFreeMetadata = qz_free_metadata
+qzCompressWithMetadataExt = qz_compress_with_metadata_ext
+qzDecompressWithMetadataExt = qz_decompress_with_metadata_ext
+qzMetadataBlockRead = qz_metadata_block_read
+qzMetadataBlockWrite = qz_metadata_block_write
+qzMetadataBlockGetCrc32 = qz_metadata_block_get_crc32
+qzMetadataBlockGetCrc64 = qz_metadata_block_get_crc64

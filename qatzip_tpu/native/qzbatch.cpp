@@ -213,6 +213,59 @@ uint32_t qz_adler32_combine(uint32_t a1, uint32_t a2, int64_t len2) {
     return adler32_comb(a1, a2, len2);
 }
 
+// Generic table-driven CRC (Rocksoft model, width 8..64): serves the
+// session-configurable CRC32/CRC64 surface (reference QzCrc32Config_T /
+// QzCrc64Config_T, include/qatzip.h:753-787; default CRC64 is ECMA-182
+// normal 0x42F0E1EBA9EA3693).
+uint64_t qz_crc_generic(const uint8_t* p, int64_t n, uint64_t poly,
+                        uint64_t init, int width, int reflect_in,
+                        int reflect_out, uint64_t xor_out) {
+    const uint64_t mask = width >= 64 ? ~0ull : ((1ull << width) - 1);
+    auto reflect = [](uint64_t v, int bits) {
+        uint64_t r = 0;
+        for (int i = 0; i < bits; i++) { r = (r << 1) | (v & 1); v >>= 1; }
+        return r;
+    };
+    // per-thread table cache keyed by (poly, width, reflect_in)
+    struct Cache { uint64_t poly = 0; int width = 0; int refin = -1;
+                   uint64_t tab[256]; };
+    thread_local Cache c;
+    if (c.poly != poly || c.width != width || c.refin != reflect_in) {
+        if (reflect_in) {
+            uint64_t rp = reflect(poly & mask, width);
+            for (uint32_t b = 0; b < 256; b++) {
+                uint64_t crc = b;
+                for (int k = 0; k < 8; k++)
+                    crc = (crc >> 1) ^ (rp & (~(crc & 1) + 1));
+                c.tab[b] = crc;
+            }
+        } else {
+            const uint64_t top = 1ull << (width - 1);
+            for (uint32_t b = 0; b < 256; b++) {
+                uint64_t crc = (uint64_t)b << (width - 8);
+                for (int k = 0; k < 8; k++)
+                    crc = (crc & top) ? ((crc << 1) ^ poly) & mask
+                                      : (crc << 1) & mask;
+                c.tab[b] = crc;
+            }
+        }
+        c.poly = poly; c.width = width; c.refin = reflect_in;
+    }
+    uint64_t crc;
+    if (reflect_in) {
+        crc = reflect(init & mask, width);
+        for (int64_t i = 0; i < n; i++)
+            crc = (crc >> 8) ^ c.tab[(crc ^ p[i]) & 0xFF];
+        if (!reflect_out) crc = reflect(crc, width);
+    } else {
+        crc = init & mask;
+        for (int64_t i = 0; i < n; i++)
+            crc = ((crc << 8) & mask) ^ c.tab[((crc >> (width - 8)) ^ p[i]) & 0xFF];
+        if (reflect_out) crc = reflect(crc, width);
+    }
+    return (crc ^ xor_out) & mask;
+}
+
 // Compress src[0..n) as independent chunk_sz members of format `fmt` into
 // dst, contiguous and in order.  ck_kind: 0=crc32, 1=adler32.
 // slot_sz must be >= header + deflate_bound(chunk_sz) + footer; cap must be

@@ -45,6 +45,11 @@ _lib.qz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int64]
 _lib.qz_adler32_combine.restype = ctypes.c_uint32
 _lib.qz_adler32_combine.argtypes = [ctypes.c_uint32, ctypes.c_uint32,
                                     ctypes.c_int64]
+_lib.qz_crc_generic.restype = ctypes.c_uint64
+_lib.qz_crc_generic.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_uint64, ctypes.c_uint64,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_uint64]
 _lib.qz_batch_deflate_compress.restype = ctypes.c_int64
 _lib.qz_batch_deflate_compress.argtypes = [
     ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -124,6 +129,13 @@ def adler32(data: bytes, adler: int = 1) -> int:
 
 def adler32_combine(a1: int, a2: int, len2: int) -> int:
     return _lib.qz_adler32_combine(a1 & 0xFFFFFFFF, a2 & 0xFFFFFFFF, len2)
+
+
+def crc_generic(data: bytes, poly: int, init: int, width: int,
+                reflect_in: bool, reflect_out: bool, xor_out: int) -> int:
+    """Rocksoft-model CRC, width 8..64 (session-configurable CRC32/CRC64)."""
+    return _lib.qz_crc_generic(data, len(data), poly, init, width,
+                               int(reflect_in), int(reflect_out), xor_out)
 
 
 def batch_deflate_compress(data: bytes, chunk_sz: int, level: int,

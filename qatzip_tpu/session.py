@@ -262,6 +262,10 @@ class QzSession:
         self.async_ctrl = None
         # most recent per-call bookkeeping
         self.last_ext_rc = 0
+        # session CRC configuration (qzSet/GetSessionCrc32/64Config;
+        # defaults: gzip CRC-32 and ECMA-182-normal CRC-64)
+        self.crc32_config = None
+        self.crc64_config = None
 
     @property
     def setup_done(self) -> bool:

@@ -101,3 +101,131 @@ def crc32(data, value: int = 0) -> int:
 
 def adler32(data, value: int = 1) -> int:
     return zlib.adler32(data, value) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Session-configurable CRC32/CRC64 (reference QzCrc32Config_T /
+# QzCrc64Config_T, include/qatzip.h:753-787)
+# ---------------------------------------------------------------------------
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class Crc64Config:
+    """Session CRC64 configuration; defaults to ECMA-182 Normal
+    (reference include/qatzip.h:753-765)."""
+
+    polynomial: int = 0x42F0E1EBA9EA3693
+    initial_value: int = 0
+    reflect_in: int = 0
+    reflect_out: int = 0
+    xor_out: int = 0
+
+
+@_dc.dataclass
+class Crc32Config:
+    """Session CRC32 configuration; defaults to the gzip CRC-32
+    (reflected 0x04C11DB7, init/xor 0xFFFFFFFF)."""
+
+    polynomial: int = 0x04C11DB7
+    initial_value: int = 0xFFFFFFFF
+    reflect_in: int = 1
+    reflect_out: int = 1
+    xor_out: int = 0xFFFFFFFF
+
+
+def _reflect(v: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+@functools.lru_cache(maxsize=8)
+def _crc_table(poly: int, width: int, reflect_in: int) -> tuple[int, ...]:
+    mask = (1 << width) - 1
+    tab = []
+    if reflect_in:
+        rp = _reflect(poly & mask, width)
+        for b in range(256):
+            crc = b
+            for _ in range(8):
+                crc = (crc >> 1) ^ (rp if crc & 1 else 0)
+            tab.append(crc)
+    else:
+        top = 1 << (width - 1)
+        for b in range(256):
+            crc = b << (width - 8)
+            for _ in range(8):
+                crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+            tab.append(crc)
+    return tuple(tab)
+
+
+def crc_generic(data, poly: int, init: int, width: int, reflect_in: int,
+                reflect_out: int, xor_out: int) -> int:
+    """Rocksoft-model CRC of any width 8..64."""
+    data = bytes(data)
+    if _native is not None:
+        return _native.crc_generic(data, poly, init, width,
+                                   bool(reflect_in), bool(reflect_out),
+                                   xor_out)
+    mask = (1 << width) - 1
+    tab = _crc_table(poly, width, int(bool(reflect_in)))
+    if reflect_in:
+        crc = _reflect(init & mask, width)
+        for byte in data:
+            crc = (crc >> 8) ^ tab[(crc ^ byte) & 0xFF]
+        if not reflect_out:
+            crc = _reflect(crc, width)
+    else:
+        crc = init & mask
+        for byte in data:
+            crc = ((crc << 8) & mask) ^ tab[((crc >> (width - 8)) ^ byte) & 0xFF]
+        if reflect_out:
+            crc = _reflect(crc, width)
+    return (crc ^ xor_out) & mask
+
+
+def crc_continue(data, running: int, poly: int, width: int, reflect_in: int,
+                 reflect_out: int, xor_out: int) -> int:
+    """Continue a Rocksoft-model CRC across buffers: ``running`` is a value
+    previously returned by :func:`crc_generic` with the same config."""
+    mask = (1 << width) - 1
+    state = (running ^ xor_out) & mask
+    if bool(reflect_in) != bool(reflect_out):
+        state = _reflect(state, width)
+    init = _reflect(state, width) if reflect_in else state
+    return crc_generic(data, poly, init, width, reflect_in, reflect_out,
+                       xor_out)
+
+
+def crc64_update(data, running: int, config: Crc64Config | None = None,
+                 first: bool = False) -> int:
+    cfg = config or Crc64Config()
+    if first:
+        return crc64(data, cfg)
+    return crc_continue(data, running, cfg.polynomial, 64, cfg.reflect_in,
+                        cfg.reflect_out, cfg.xor_out)
+
+
+def crc32_update(data, running: int, config: Crc32Config | None = None,
+                 first: bool = False) -> int:
+    cfg = config or Crc32Config()
+    if first:
+        return crc32_configured(data, cfg)
+    return crc_continue(data, running, cfg.polynomial, 32, cfg.reflect_in,
+                        cfg.reflect_out, cfg.xor_out)
+
+
+def crc64(data, config: Crc64Config | None = None) -> int:
+    cfg = config or Crc64Config()
+    return crc_generic(data, cfg.polynomial, cfg.initial_value, 64,
+                       cfg.reflect_in, cfg.reflect_out, cfg.xor_out)
+
+
+def crc32_configured(data, config: Crc32Config | None = None) -> int:
+    cfg = config or Crc32Config()
+    return crc_generic(data, cfg.polynomial, cfg.initial_value, 32,
+                       cfg.reflect_in, cfg.reflect_out, cfg.xor_out)
