@@ -154,7 +154,11 @@ def qz_setup_session_deflate(sess: QzSession,
 
 def qz_setup_session_deflate_ext(
         sess: QzSession, params: QzSessionParamsDeflateExt | None = None) -> int:
-    p = params or QzSessionParamsDeflateExt()
+    # None -> process defaults set via qz_set_defaults_deflate_ext (the
+    # reference qzSetDefaults semantics: defaults feed subsequent setup)
+    p = params if params is not None else dataclasses.replace(
+        _defaults_deflate_ext,
+        deflate_params=dataclasses.replace(_defaults_deflate_ext.deflate_params))
     if not S.validate_params_deflate(p.deflate_params):
         return C.QZ_PARAMS
     return _setup(sess, S.deflate_to_internal(
@@ -213,6 +217,17 @@ def qz_compress(sess: QzSession, src, last: int = 1,
 def qz_compress_crc(sess: QzSession, src, last: int = 1,
                     crc_init: int = 0,
                     dest_limit: int | None = None) -> OpResult:
+    cfg = getattr(sess, "crc32_config", None)
+    if cfg is not None and cfg != Crc32Config():
+        # custom session CRC32 config (qzSetSessionCrc32Config): the format
+        # checksum stays gzip CRC-32 on the wire, but the API-returned crc
+        # honors the configured polynomial/reflection (reference
+        # include/qatzip.h:2722-2791)
+        res = qz_compress_ext(sess, src, last=last, dest_limit=dest_limit)
+        if res.rc != C.QZ_OK:
+            return res
+        res.crc = ck.crc32_update(bytes(src)[: res.consumed], crc_init, cfg)
+        return res
     return qz_compress_ext(sess, src, last=last, dest_limit=dest_limit,
                            crc_init=crc_init)
 
@@ -229,7 +244,10 @@ def qz_compress_crc64_ext(sess: QzSession, src, last: int = 1,
         return res
     cfg = getattr(sess, "crc64_config", None)
     consumed = bytes(src)[: res.consumed]
-    res.crc = ck.crc64_update(consumed, crc64, cfg, first=(crc64 == 0))
+    # Always continue from the passed value: for the default (and XZ-style)
+    # configs crc_continue(0) == fresh start, and a legitimately-zero running
+    # CRC from a prior call is never misread as "first call".
+    res.crc = ck.crc64_update(consumed, crc64, cfg)
     return res
 
 
@@ -259,6 +277,13 @@ def qz_decompress(sess: QzSession, src,
 
 def qz_decompress_crc(sess: QzSession, src,
                       dest_limit: int | None = None) -> OpResult:
+    cfg = getattr(sess, "crc32_config", None)
+    if cfg is not None and cfg != Crc32Config():
+        res = qz_decompress_ext(sess, src, dest_limit=dest_limit)
+        if res.rc != C.QZ_OK:
+            return res
+        res.crc = ck.crc32_update(res.data, 0, cfg)
+        return res
     return qz_decompress_ext(sess, src, dest_limit=dest_limit)
 
 
@@ -270,7 +295,7 @@ def qz_decompress_crc64_ext(sess: QzSession, src, crc64: int = 0,
     if res.rc != C.QZ_OK:
         return res
     cfg = getattr(sess, "crc64_config", None)
-    res.crc = ck.crc64_update(res.data, crc64, cfg, first=(crc64 == 0))
+    res.crc = ck.crc64_update(res.data, crc64, cfg)
     return res
 
 

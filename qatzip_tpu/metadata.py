@@ -65,6 +65,10 @@ def qz_allocate_metadata(data_size: int, hw_buff_sz: int):
     Returns (rc, blob)."""
     if data_size is None or data_size < 0 or not hw_buff_sz or hw_buff_sz <= 0:
         return C.QZ_PARAMS, None
+    # block size bounded like the session path (QZ_HW_BUFF_MAX_SZ,
+    # reference include/qatzip.h:581-588)
+    if hw_buff_sz > C.QZ_HW_BUFF_MAX_SZ:
+        return C.QZ_PARAMS, None
     return C.QZ_OK, QzMetadataBlob(data_size, hw_buff_sz)
 
 
@@ -112,7 +116,7 @@ def qz_compress_with_metadata_ext(sess: QzSession, src,
         return OpResult(rc=C.QZ_PARAMS)
     src = bytes(src)
     blk_sz = hw_buff_sz_override or metadata.hw_buff_sz
-    if blk_sz <= 0:
+    if blk_sz <= 0 or blk_sz > C.QZ_HW_BUFF_MAX_SZ:
         return OpResult(rc=C.QZ_PARAMS)
     nblocks = max(1, (len(src) + blk_sz - 1) // blk_sz)
     if nblocks > metadata.block_count:

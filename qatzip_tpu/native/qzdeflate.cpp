@@ -606,14 +606,28 @@ int64_t zlib_deflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
     if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
                      Z_DEFAULT_STRATEGY) != Z_OK)
         return -1;
-    zs.next_in = const_cast<Bytef*>(src);
-    zs.avail_in = (uInt)n;
+    // stream avail_in/out are 32-bit; feed >=4GiB inputs in windows so a
+    // huge block compresses fully instead of silently truncating to n%2^32
+    int64_t fed = 0, written = 0;
+    int rc = Z_OK;
     zs.next_out = dst;
-    zs.avail_out = (uInt)(cap > 0xFFFFFFFFll ? 0xFFFFFFFFll : cap);
-    int rc = deflate(&zs, Z_FINISH);
-    int64_t out = (int64_t)zs.total_out;
+    do {
+        int64_t in_left = n - fed;
+        uInt in_now = in_left > 0x40000000ll ? 0x40000000u : (uInt)in_left;
+        zs.next_in = const_cast<Bytef*>(src + fed);
+        zs.avail_in = in_now;
+        fed += in_now;
+        int64_t out_left = cap - written;
+        if (out_left <= 0) { deflateEnd(&zs); return -1; }
+        zs.next_out = dst + written;
+        zs.avail_out = out_left > 0x40000000ll ? 0x40000000u : (uInt)out_left;
+        uInt out_now = zs.avail_out;
+        rc = deflate(&zs, fed >= n ? Z_FINISH : Z_NO_FLUSH);
+        written += out_now - zs.avail_out;
+        if (rc != Z_OK && rc != Z_STREAM_END && rc != Z_BUF_ERROR) break;
+    } while (rc != Z_STREAM_END);
     deflateEnd(&zs);
-    return rc == Z_STREAM_END ? out : -1;
+    return rc == Z_STREAM_END ? written : -1;
 }
 
 }  // namespace

@@ -230,3 +230,53 @@ def test_software_components():
     assert rc == C.QZ_OK and len(comps) == n
     names = [c[0] for c in comps]
     assert "qatzip_tpu" in names and "zlib" in names
+
+
+def test_defaults_deflate_ext_feed_session_setup():
+    # qzSetDefaults semantics: defaults must affect subsequent setup with
+    # params=None (reference include/qatzip.h:2086-2140)
+    d = qz.qz_get_defaults_deflate_ext()
+    d.zlib_format = 1
+    assert qz.qz_set_defaults_deflate_ext(d) == C.QZ_OK
+    try:
+        sess = qz.QzSession()
+        assert qz.qz_setup_session_deflate_ext(sess, None) == C.QZ_OK
+        from qatzip_tpu.constants import DataFormatInternal
+        assert sess.params.data_fmt == DataFormatInternal.DEFLATE_ZLIB
+    finally:
+        d.zlib_format = 0
+        qz.qz_set_defaults_deflate_ext(d)
+
+
+def test_session_crc32_config_affects_compress_crc():
+    # a custom CRC32 config must change what qz_compress_crc reports
+    sess = deflate_session()
+    data = make_data(50_000)
+    base = qz.qz_compress_crc(sess, data)
+    assert base.crc == ck.crc32(data)
+    cfg = qz.Crc32Config(polynomial=0x04C11DB7, initial_value=0,
+                         reflect_in=0, reflect_out=0, xor_out=0)  # CRC-32/MPEG-ish
+    assert qz.qz_set_session_crc32_config(sess, cfg) == C.QZ_OK
+    res = qz.qz_compress_crc(sess, data)
+    assert res.rc == C.QZ_OK
+    assert res.crc == ck.crc32_configured(data, cfg)
+    assert res.crc != base.crc
+
+    dsess = deflate_session()
+    assert qz.qz_set_session_crc32_config(dsess, cfg) == C.QZ_OK
+    dres = qz.qz_decompress_crc(dsess, res.data)
+    assert dres.rc == C.QZ_OK and dres.data == data
+    assert dres.crc == res.crc
+
+
+def test_crc64_zero_running_value_not_treated_as_fresh():
+    # a custom config where crc(empty) != 0: a legitimately-zero running
+    # CRC must continue correctly rather than restart
+    cfg = qz.Crc64Config(initial_value=(1 << 64) - 1, reflect_in=1,
+                         reflect_out=1, xor_out=(1 << 64) - 1)
+    a, b = make_data(30_000), make_data(20_000)
+    sess = deflate_session()
+    assert qz.qz_set_session_crc64_config(sess, cfg) == C.QZ_OK
+    r1 = qz.qz_compress_crc64(sess, a)
+    r2 = qz.qz_compress_crc64(sess, b, crc64=r1.crc)
+    assert r2.crc == ck.crc64(a + b, cfg)
