@@ -61,6 +61,13 @@ _lib.qz_batch_inflate.argtypes = [
     ctypes.c_char_p, _I64P, _I64P, _I64P, _I64P, _I64P,
     ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+_lib.qz_huff_build_batch.restype = ctypes.c_int
+_lib.qz_huff_build_batch.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p]
 
 # wire-format codes shared with qzbatch.cpp (enum Fmt)
 BATCH_FMT = {"4B": 0, "gzip": 1, "gzipext": 2, "raw": 3, "zlib": 4}
@@ -183,6 +190,41 @@ def batch_inflate(comp: bytes, offs: list[int], plens: list[int],
     if total < 0:
         raise ValueError(f"batch inflate failed ({total})")
     return buf.raw[:total], crc.value, bool(eof.value)
+
+
+def huff_build_batch(freq_ll, freq_d, blk_len, allow_dynamic: bool,
+                     bit_capacity: int, hdr_max: int):
+    """Batch true-Huffman + dynamic-header build for the device encoder
+    (see qz_huff_build_batch in qzdeflate.cpp).
+
+    freq_ll [B,286] / freq_d [B,30] / blk_len [B] numpy arrays.  Returns
+    (mode[B] i32, ll_len[B,286] i32, ll_code[B,286] i32, d_len[B,30] i32,
+    d_code[B,30] i32, hdr_vals[B,HMAX] u32, hdr_nbits[B,HMAX] i32,
+    est_bits[B] i64).
+    """
+    import numpy as np
+
+    freq_ll = np.ascontiguousarray(freq_ll, np.uint32)
+    freq_d = np.ascontiguousarray(freq_d, np.uint32)
+    blk_len = np.ascontiguousarray(blk_len, np.int32)
+    B = freq_ll.shape[0]
+    mode = np.zeros(B, np.int32)
+    ll_len = np.zeros((B, 286), np.int32)
+    ll_code = np.zeros((B, 286), np.int32)
+    d_len = np.zeros((B, 30), np.int32)
+    d_code = np.zeros((B, 30), np.int32)
+    hv = np.zeros((B, hdr_max), np.uint32)
+    hn = np.zeros((B, hdr_max), np.int32)
+    est = np.zeros(B, np.int64)
+    rc = _lib.qz_huff_build_batch(
+        freq_ll.ctypes.data, freq_d.ctypes.data, blk_len.ctypes.data,
+        B, int(allow_dynamic), bit_capacity, hdr_max,
+        mode.ctypes.data, ll_len.ctypes.data, ll_code.ctypes.data,
+        d_len.ctypes.data, d_code.ctypes.data,
+        hv.ctypes.data, hn.ctypes.data, est.ctypes.data)
+    if rc != 0:
+        raise ValueError("huff_build_batch: header overflow")
+    return mode, ll_len, ll_code, d_len, d_code, hv, hn, est
 
 
 def inflate(data: bytes, max_out: int) -> tuple[bytes, int, bool]:

@@ -1140,4 +1140,155 @@ int64_t qz_inflate(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap,
     return op - dst;
 }
 
+// ---------------------------------------------------------------------------
+// Batch Huffman/header build for the device (TPU) encoder's hybrid split:
+// the device computes per-block litlen/dist histograms (K1), this routine
+// builds true length-limited Huffman tables + the RLE-compressed dynamic
+// header bit-fields + the block-mode decision on the host (the 286-entry
+// build is microseconds), and the device packs the bitstream (K2).  Plays
+// the role of the QAT ASIC's dynamic-Huffman header generation
+// (reference src/qatzip_utils.c:284-341 selects CPA_DC_HT_FULL_DYNAMIC).
+//
+// Per block b (row-major batch arrays):
+//   freq_ll [B*286], freq_d [B*30]  symbol histograms (EOB already counted)
+//   blk_len [B]                     uncompressed block size
+// Outputs:
+//   mode [B]             0=dynamic 1=static 2=stored
+//   ll_len/ll_code [B*286], d_len/d_code [B*30]   emission tables
+//       (mode-selected; codes bit-reversed for LSB-first packing)
+//   hdr_vals [B*hmax] u32, hdr_nbits [B*hmax]     header bit-fields
+//       (first field = BFINAL|BTYPE; unused fields have nbits 0)
+//   est_bits [B]         exact total block bits incl. header + EOB
+// Returns 0, or -1 when hmax is too small for some header.
+int qz_huff_build_batch(const uint32_t* freq_ll, const uint32_t* freq_d,
+                        const int32_t* blk_len, int B, int allow_dynamic,
+                        int64_t bit_capacity, int hmax,
+                        int32_t* mode_o,
+                        int32_t* ll_len_o, int32_t* ll_code_o,
+                        int32_t* d_len_o, int32_t* d_code_o,
+                        uint32_t* hdr_vals, int32_t* hdr_nbits,
+                        int64_t* est_bits) {
+    for (int b = 0; b < B; b++) {
+        const uint32_t* fll = freq_ll + (size_t)b * 286;
+        const uint32_t* fd = freq_d + (size_t)b * 30;
+        int32_t* oll_len = ll_len_o + (size_t)b * 286;
+        int32_t* oll_code = ll_code_o + (size_t)b * 286;
+        int32_t* od_len = d_len_o + (size_t)b * 30;
+        int32_t* od_code = d_code_o + (size_t)b * 30;
+        uint32_t* hv = hdr_vals + (size_t)b * hmax;
+        int32_t* hn = hdr_nbits + (size_t)b * hmax;
+        std::memset(hv, 0, sizeof(uint32_t) * hmax);
+        std::memset(hn, 0, sizeof(int32_t) * hmax);
+
+        uint8_t ll_len[286], d_len[30];
+        uint16_t ll_code[286], d_code[30];
+        build_huffman(fll, 286, 15, ll_len, ll_code);
+        build_huffman(fd, 30, 15, d_len, d_code);
+        int nd = 0;
+        for (int i = 0; i < 30; i++) if (d_len[i]) nd++;
+        if (nd == 0) { d_len[0] = 1; d_code[0] = 0; }
+
+        int hlit = 286;
+        while (hlit > 257 && ll_len[hlit - 1] == 0) hlit--;
+        int hdist = 30;
+        while (hdist > 1 && d_len[hdist - 1] == 0) hdist--;
+
+        uint8_t all[316];
+        std::memcpy(all, ll_len, hlit);
+        std::memcpy(all + hlit, d_len, hdist);
+        ClSym cls[316];
+        int ncls = rle_code_lengths(all, hlit + hdist, cls);
+        uint32_t freq_cl[19] = {0};
+        for (int i = 0; i < ncls; i++) freq_cl[cls[i].sym]++;
+        uint8_t cl_len[19];
+        uint16_t cl_code[19];
+        build_huffman(freq_cl, 19, 7, cl_len, cl_code);
+        int hclen = 19;
+        while (hclen > 4 && cl_len[CL_ORDER[hclen - 1]] == 0) hclen--;
+
+        // exact bit costs
+        int64_t hdr_bits = 3 + 5 + 5 + 4 + 3 * hclen;
+        for (int i = 0; i < ncls; i++)
+            hdr_bits += cl_len[cls[i].sym] + cls[i].extra_bits;
+        int64_t sym_dyn = 0, sym_static = 0, extra = 0;
+        for (int i = 0; i < 286; i++) {
+            if (!fll[i]) continue;
+            sym_dyn += (int64_t)fll[i] * ll_len[i];
+            sym_static += (int64_t)fll[i] * g_static.ll_len[i];
+        }
+        for (int c = 0; c < 29; c++)
+            extra += (int64_t)fll[257 + c] * LEN_EB[c];
+        for (int c = 0; c < 30; c++) {
+            if (!fd[c]) continue;
+            sym_dyn += (int64_t)fd[c] * d_len[c];
+            sym_static += (int64_t)fd[c] * 5;
+            extra += (int64_t)fd[c] * DIST_EB[c];
+        }
+        int64_t dyn_bits = hdr_bits + sym_dyn + extra;
+        int64_t static_bits = 3 + sym_static + extra;
+        int64_t len = blk_len[b];
+        int nstored = len ? (int)((len + 65534) / 65535) : 1;
+        int64_t stored_bits = 8 * (5 * (int64_t)nstored + len);
+
+        int mode;
+        if (allow_dynamic && dyn_bits <= static_bits
+            && dyn_bits <= stored_bits && dyn_bits <= bit_capacity)
+            mode = 0;
+        else if (static_bits <= stored_bits && static_bits <= bit_capacity)
+            mode = 1;
+        else
+            mode = 2;
+        mode_o[b] = mode;
+
+        if (mode == 0) {
+            // header fields: BFINAL|BTYPE, HLIT, HDIST, HCLEN, cl lens, RLE
+            int m = 0;
+            auto putf = [&](uint32_t v, int nb) {
+                if (m < hmax) { hv[m] = v; hn[m] = nb; }
+                m++;
+            };
+            putf(1u | (2u << 1), 3);
+            putf((uint32_t)(hlit - 257), 5);
+            putf((uint32_t)(hdist - 1), 5);
+            putf((uint32_t)(hclen - 4), 4);
+            for (int i = 0; i < hclen; i++) putf(cl_len[CL_ORDER[i]], 3);
+            for (int i = 0; i < ncls; i++) {
+                putf(cl_code[cls[i].sym], cl_len[cls[i].sym]);
+                if (cls[i].extra_bits)
+                    putf(cls[i].extra_val, cls[i].extra_bits);
+            }
+            if (m > hmax) return -1;
+            for (int i = 0; i < 286; i++) {
+                oll_len[i] = ll_len[i];
+                oll_code[i] = ll_code[i];
+            }
+            for (int i = 0; i < 30; i++) {
+                od_len[i] = d_len[i];
+                od_code[i] = d_code[i];
+            }
+            est_bits[b] = dyn_bits;
+        } else if (mode == 1) {
+            hv[0] = 1u | (1u << 1);
+            hn[0] = 3;
+            for (int i = 0; i < 286; i++) {
+                oll_len[i] = g_static.ll_len[i];
+                oll_code[i] = g_static.ll_code[i];
+            }
+            for (int i = 0; i < 30; i++) {
+                od_len[i] = g_static.d_len[i];
+                od_code[i] = g_static.d_code[i];
+            }
+            est_bits[b] = static_bits;
+        } else {
+            // stored: emitted fully on the host; device output ignored
+            std::memset(oll_len, 0, sizeof(int32_t) * 286);
+            std::memset(oll_code, 0, sizeof(int32_t) * 286);
+            std::memset(od_len, 0, sizeof(int32_t) * 30);
+            std::memset(od_code, 0, sizeof(int32_t) * 30);
+            est_bits[b] = stored_bits;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -69,9 +69,6 @@ class DeflateDeviceCodec:
             words, bits, mode = de.encode_blocks(
                 jnp.asarray(data), jnp.asarray(lens), depth, kwords,
                 allow_dynamic, m_words)
-            words = np.asarray(words)
-            bits = np.asarray(bits)
-            mode = np.asarray(mode)
             for i, c in enumerate(batch):
                 if mode[i] == de.MODE_STORED:
                     payload = _stored_block(c)

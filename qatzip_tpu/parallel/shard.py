@@ -30,49 +30,54 @@ def make_mesh(n_devices: int | None = None, axis: str = "block"):
     return Mesh(np.array(devs[:n_devices]), axis_names=(axis,))
 
 
-@functools.lru_cache(maxsize=16)
-def _sharded_encoder(mesh_key, n: int, depth: int, kwords: int,
-                     allow_dynamic: bool, m_words: int):
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from qatzip_tpu.ops import deflate_encode as de
-
-    mesh = _MESHES[mesh_key]
-    data_sh = NamedSharding(mesh, P("block", None))
-    len_sh = NamedSharding(mesh, P("block"))
-
-    fn = functools.partial(de.encode_blocks.__wrapped__, depth=depth,
-                           kwords=kwords, allow_dynamic=allow_dynamic,
-                           m_words=m_words)
-    return jax.jit(fn, in_shardings=(data_sh, len_sh),
-                   out_shardings=(data_sh, len_sh, len_sh))
-
-
-_MESHES: dict = {}
-
-
 def compress_blocks_sharded(mesh, data_pad: np.ndarray, lengths: np.ndarray,
                             depth: int = 1, kwords: int = 16,
                             allow_dynamic: bool = True,
                             m_words: int | None = None):
     """Compress a [B, N+8] batch sharded over the mesh's block axis.
 
-    B must be a multiple of the mesh size (callers pad).  Returns
-    (words [B, m_words], bits [B], mode [B]) with outputs sharded the same
-    way; conversion to host bytes walks blocks in order.
+    B must be a multiple of the mesh size (callers pad).  Both device
+    dispatches (K1 analyze, K2 pack) run sharded over the block axis; the
+    host Huffman/header build between them operates on the gathered [B,286]
+    histograms (a few KB).  Returns (words [B, m_words] sharded, bits [B],
+    mode [B] numpy); conversion to host bytes walks blocks in order.
     """
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from qatzip_tpu.native import qzcore as native
     from qatzip_tpu.ops import deflate_encode as de
 
     n = data_pad.shape[1] - 8
     if m_words is None:
         m_words = de.words_bound(n)
-    key = id(mesh)
-    _MESHES[key] = mesh
-    enc = _sharded_encoder(key, n, depth, kwords, allow_dynamic, m_words)
-    return enc(jnp.asarray(data_pad), jnp.asarray(lengths))
+
+    row = NamedSharding(mesh, P("block"))
+    mat = NamedSharding(mesh, P("block", None))
+    data = jax.device_put(jnp.asarray(data_pad), mat)
+    lens = jax.device_put(jnp.asarray(lengths), row)
+
+    slots, mlen, mdist, freq_ll, freq_d = de.analyze_blocks(
+        data, lens, depth, kwords)
+    mode, ll_len, ll_code, d_len, d_code, hv, hn, _est = \
+        native.huff_build_batch(np.asarray(freq_ll), np.asarray(freq_d),
+                                np.asarray(lengths), allow_dynamic,
+                                32 * m_words, de.HDR_MAX)
+
+    def put(a):
+        w = (a.shape[1] + 127) & ~127
+        out = np.zeros((a.shape[0], w), a.dtype)
+        out[:, :a.shape[1]] = a
+        return jax.device_put(jnp.asarray(out), mat)
+
+    words, bits = de.pack_blocks(data, slots, mlen, mdist,
+                                 jax.device_put(jnp.asarray(
+                                     hv.astype(np.uint32)), mat),
+                                 jax.device_put(jnp.asarray(hn), mat),
+                                 put(ll_len), put(ll_code),
+                                 put(d_len), put(d_code), m_words)
+    return words, bits, mode
 
 
 def scaling_report(mesh, block_bytes: int = 65536, blocks_per_device: int = 8,

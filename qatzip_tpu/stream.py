@@ -35,6 +35,11 @@ class QzStream:
         self.out_sz = 0              # total output produced
         self.pending_in = 0
         self.ended = False
+        # incremental decompress carry: mid-member inflate state so piecemeal
+        # feeding stays O(n) (the reference drains incrementally,
+        # src/qatzip_stream.c:599-749)
+        self._dobj = None
+        self._any_member = False
 
     @property
     def pending_out_sz(self) -> int:
@@ -96,16 +101,70 @@ def qz_compress_stream(sess: QzSession, strm: QzStream, data=b"",
     return C.QZ_OK, _drain(strm, max_out)
 
 
+_INCREMENTAL_WBITS = {
+    DataFormatInternal.DEFLATE_GZIP: 31,
+    DataFormatInternal.DEFLATE_GZIP_EXT: 31,
+    DataFormatInternal.DEFLATE_RAW: -15,
+    DataFormatInternal.DEFLATE_ZLIB: 15,
+}
+
+
+def _decompress_stream_incremental(sess: QzSession, strm: QzStream, data,
+                                   last: int, max_out: int | None, wbits: int):
+    """O(n) piecemeal decompress for the deflate formats: a zlib
+    decompressobj carries mid-member state between calls, so each call costs
+    only the new bytes (the one-shot funnel would re-parse the accumulated
+    buffer every call — quadratic).  Footer checksums (gzip CRC32+ISIZE,
+    zlib Adler32) are verified by the inflater itself."""
+    import zlib
+
+    p = sess.params
+    adler = p.data_fmt == DataFormatInternal.DEFLATE_ZLIB
+    strm.comp_in += bytes(data)
+    while strm.comp_in:
+        if strm._dobj is None:
+            strm._dobj = zlib.decompressobj(wbits)
+        feed = bytes(strm.comp_in)
+        try:
+            out = strm._dobj.decompress(feed)
+        except zlib.error:
+            return C.QZ_DATA_ERROR, _drain(strm, max_out)
+        consumed = len(feed) - len(strm._dobj.unused_data)
+        strm.pending_out += out
+        del strm.comp_in[:consumed]
+        strm.in_sz += consumed
+        if adler:
+            cur = strm.crc_32 if strm._any_member else 1
+            strm.crc_32 = zlib.adler32(out, cur) & 0xFFFFFFFF
+            strm._any_member = True
+        else:
+            strm.crc_32 = zlib.crc32(out, strm.crc_32) & 0xFFFFFFFF
+        if strm._dobj.eof:
+            sess.end_of_last_block = True
+            strm._dobj = None
+            strm._any_member = True
+            continue  # next catenated member
+        break  # mid-member: wait for more input
+    if last and (strm.comp_in or strm._dobj is not None):
+        return C.QZ_DATA_ERROR, _drain(strm, max_out)
+    return C.QZ_OK, _drain(strm, max_out)
+
+
 def qz_decompress_stream(sess: QzSession, strm: QzStream, data=b"",
                          last: int = 0, max_out: int | None = None):
     """Returns (rc, produced_bytes).  Buffers compressed input and emits
-    decompressed bytes of every complete member seen so far."""
+    decompressed bytes of every complete member seen so far; deflate formats
+    drain incrementally (mid-member state carries between calls)."""
     if not isinstance(sess, QzSession) or not isinstance(strm, QzStream):
         return C.QZ_PARAMS, b""
     from qatzip_tpu.api import _auto_session
     rc = _auto_session(sess)
     if rc < 0:
         return rc, b""
+    wbits = _INCREMENTAL_WBITS.get(sess.params.data_fmt)
+    if wbits is not None:
+        return _decompress_stream_incremental(sess, strm, data, last, max_out,
+                                              wbits)
 
     strm.comp_in += bytes(data)
     if strm.comp_in:

@@ -89,3 +89,67 @@ def test_stream_unsupported_format_rejected():
     strm = QzStream()
     rc, _ = qz_compress_stream(sess, strm, b"data", last=1)
     assert rc == C.QZ_UNSUPPORTED_FMT
+
+
+def test_decompress_stream_linear_growth(corpus_factory):
+    """Piecemeal decompress must drain incrementally: the internal buffer
+    stays bounded while feeding one large member in small pieces (the
+    one-shot-per-call approach would re-parse the whole accumulation —
+    quadratic; reference drains incrementally, src/qatzip_stream.c:599-749)."""
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+    from qatzip_tpu.constants import QzDataFormat
+
+    data = corpus_factory(480 * 1024)
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsDeflate()
+    p.common_params.hw_buff_sz = 512 * 1024  # one big member
+    p.data_fmt = QzDataFormat.QZ_DEFLATE_GZIP
+    assert qz.qz_setup_session_deflate(sess, p) == qz.QZ_OK
+    comp = qz.qz_compress(sess, data).data
+
+    dsess = qz.QzSession()
+    pd = qz.QzSessionParamsDeflate()
+    pd.data_fmt = QzDataFormat.QZ_DEFLATE_GZIP
+    assert qz.qz_setup_session_deflate(dsess, pd) == qz.QZ_OK
+    strm = S.QzStream()
+    out = bytearray()
+    piece = 4096
+    for i in range(0, len(comp), piece):
+        is_last = i + piece >= len(comp)
+        rc, produced = S.qz_decompress_stream(dsess, strm, comp[i:i + piece],
+                                              last=1 if is_last else 0)
+        assert rc == qz.QZ_OK
+        out += produced
+        # incremental carry: accumulation stays bounded by the piece size
+        assert len(strm.comp_in) <= piece
+    assert bytes(out) == data
+    import zlib
+    assert strm.crc_32 == zlib.crc32(data)
+
+
+def test_decompress_stream_multi_member_incremental(corpus_factory):
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+    from qatzip_tpu.constants import QzDataFormat
+
+    data = corpus_factory(300_000)
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsDeflate()
+    p.common_params.hw_buff_sz = 64 * 1024
+    p.data_fmt = QzDataFormat.QZ_DEFLATE_GZIP_EXT
+    assert qz.qz_setup_session_deflate(sess, p) == qz.QZ_OK
+    comp = qz.qz_compress(sess, data).data
+
+    dsess = qz.QzSession()
+    assert qz.qz_setup_session_deflate(dsess, qz.QzSessionParamsDeflate(
+        data_fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT)) == qz.QZ_OK
+    strm = S.QzStream()
+    out = bytearray()
+    for i in range(0, len(comp), 1000):
+        rc, produced = S.qz_decompress_stream(
+            dsess, strm, comp[i:i + 1000],
+            last=1 if i + 1000 >= len(comp) else 0)
+        assert rc == qz.QZ_OK
+        out += produced
+    assert bytes(out) == data
