@@ -1,38 +1,38 @@
 """DEFLATE block encoder on device (JAX/XLA; the TPU analog of the QAT
 compression engine's deflate path, reference src/qatzip.c:1483-1764).
 
-Design notes (all numbers measured on the target chip with
-tools/prof_primitives.py and recorded in PERF.md):
+The design follows the measured cost model of the target chip (PERF.md):
+random access (gather/scatter) serializes at ~10-25 ns/element, while
+sorts (~1 ns/element, variadic payloads nearly free), prefix scans and
+elementwise passes run at memory speed, and small histograms ride the MXU
+as int8 one-hot matmuls.  The pipeline is therefore built almost entirely
+from sorts and scans:
 
-* take_along_axis gathers along the minor axis are fast (>20 Gelem/s) when
-  kept un-fused (``optimization_barrier``) and when the source's minor dim
-  is 128-aligned; fancy-indexed table gathers and axis-0 gathers are ~450x
-  slower and are never used.
-* ALL scatter forms (set/add/max, any dtype) serialize at ~10ns/element on
-  this target, so the pipeline is scatter-free:
-    - permutations are inverted with a second sort (payload packed in the
-      low bits of the key),
-    - histograms are int8 one-hot matmuls on the MXU,
-    - the greedy parse materializes the selected-symbol list directly
-      (segment-entry recurrence + parallel segment walks via lax.scan),
-    - bit-packing uses prefix sums + hand-rolled binary search instead of
-      scatter-add (vmapped searchsorted also lowers pathologically).
-
-Two-dispatch hybrid:
-  K1 ``analyze_blocks``  (device): LZ77 — sort-based hash chains (one u32
-      key sort gives depth-d chains as d-step lookbacks), match extension
-      in 4-byte granules, exact dist-1 run detection via log-doubling (RLE
-      data reaches the full 258 match), greedy parse, per-block symbol
-      histograms.
+  K1 ``analyze_blocks``  (device):
+    * hash-chain candidates from ONE variadic key sort whose payloads carry
+      the 4 shifted prefix words of every position, so match verification
+      and exact match lengths (to 19 bytes) are elementwise payload
+      compares in sorted order — zero random reads;
+    * a second variadic sort inverts the permutation (payload packed with
+      the key) back to position order;
+    * exact dist-1 run lengths via log-doubling (covers RLE data to the
+      full 258);
+    * the greedy parse is the one irreducibly random-access stage: the
+      chain 0 -> f(0) -> ... is materialized by a segment-entry recurrence
+      plus parallel segment walks (lax.scan), then one scatter builds the
+      selected-position mask;
+    * litlen/dist histograms as int8 one-hot MXU matmuls.
   Host ``qz_huff_build_batch`` (native C++): true length-limited Huffman,
-      RLE-compressed dynamic headers, stored/static/dynamic mode decision
-      from exact bit costs (the CPA auto-select-best behavior, reference
-      src/qatzip_utils.c:284-341).
-  K2 ``pack_blocks``  (device): map symbols through the host-built code
-      tables and bit-pack scatter-free.
+    RLE-compressed dynamic headers, stored/static/dynamic mode decision
+    from exact bit costs (the CPA auto-select-best behavior, reference
+    src/qatzip_utils.c:284-341).
+  K2 ``pack_blocks``  (device): per-position fields (literal-or-length at
+    p, distance at p+1 — always inside the match it belongs to), per-block
+    code-table lookups via sort-merge-forward-fill, and scatter-free bit
+    packing via prefix sums whose values ride a merge sort to the word
+    boundaries.
 
-Length/distance codes are computed arithmetically (ops/codes.py), never by
-table gather.
+Length/distance codes are computed arithmetically (ops/codes.py).
 """
 from __future__ import annotations
 
@@ -48,7 +48,7 @@ MODE_DYNAMIC = 0
 MODE_STATIC = 1
 MODE_STORED = 2
 
-WINDOW = 32767  # dist fits 15 key-payload bits; deflate allows 32768
+WINDOW = 32767  # dist rides 15 payload bits of the unscramble key
 SEG = 256       # greedy-parse segment width
 HDR_MAX = 672   # 4 + 19 + 2*316 header fields + slack
 MAX_BLOCK = 1 << 17  # keys pack pos into 17 bits
@@ -66,26 +66,38 @@ def words_bound(n: int) -> int:
 
 
 def level_params(level: int) -> tuple[int, int]:
-    """Map compression level to (hash-chain depth, match words) — the analog
-    of the reference's level->HW-search-depth table (README.md:133-148)."""
+    """Map compression level to (hash-chain depth, payload words for the
+    depth-1 exact extension) — the analog of the reference's
+    level->HW-search-depth table (README.md:133-148)."""
     if level <= 3:
-        return 1, 16
+        return 4, 16
     if level <= 6:
-        return 3, 32
-    return 6, 64
+        return 6, 24
+    return 8, 32
 
 
 def _take(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batched minor-axis gather, fenced so XLA keeps the fast gather kernel
-    instead of fusing it into a serial loop.  mode='clip': jnp's default
-    fills out-of-bounds reads with a sentinel instead of clamping."""
     a, idx = _OB((a, idx))
     return _OB(jnp.take_along_axis(a, idx, axis=-1, mode="clip"))
 
 
-def _sort(x: jnp.ndarray) -> jnp.ndarray:
-    x = _OB(x)
-    return _OB(jnp.sort(x, axis=-1))
+def _vsort(key: jnp.ndarray, *payloads: jnp.ndarray, chunk: int = 5):
+    """Variadic ascending sort by key (sorts are the cheap primitive).
+
+    Payloads are carried in groups of ``chunk`` through separate stable
+    sorts of the same key — identical permutations, but XLA's sort
+    expansion compiles quadratically in operand count, so many small sorts
+    compile far faster than one wide one."""
+    if len(payloads) <= chunk:
+        return jax.lax.sort((key,) + payloads, num_keys=1, is_stable=True)
+    outs = [None]
+    collected = []
+    for i in range(0, len(payloads), chunk):
+        grp = payloads[i:i + chunk]
+        res = jax.lax.sort((key,) + grp, num_keys=1, is_stable=True)
+        outs[0] = res[0]
+        collected.extend(res[1:])
+    return (outs[0], *collected)
 
 
 def _shift_right(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
@@ -100,9 +112,7 @@ def _shift_left(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
 
 def _hist_onehot(idx: jnp.ndarray, valid: jnp.ndarray, nbins: int,
                  hi_w: int = 32) -> jnp.ndarray:
-    """Histogram of idx (int32 [B,N]) where valid, as int8 one-hot MXU
-    matmuls factorized over hi/lo digits — scatter-free and exact for
-    counts < 2^31."""
+    """Histogram as factorized int8 one-hot MXU matmuls (scatter-free)."""
     nb_hi = (nbins + hi_w - 1) // hi_w
     hi = idx // hi_w
     lo = idx - hi * hi_w
@@ -128,14 +138,13 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
                    kwords: int):
     """K1: LZ77 + greedy parse + histograms for a batch of blocks.
 
-    data: uint8[B, N+8] zero-padded; lengths: int32[B]; N <= 128K.
-    Returns (slots int32[B,N] — selected-symbol positions in stream order
-    with -1 for unused slots, mlen int32[B,N], mdist int32[B,N],
-    freq_ll int32[B,286], freq_d int32[B,30]).
+    data: uint8[B, N+8] zero-padded; lengths: int32[B]; N <= 128K,
+    N % SEG == 0.  Returns (sel bool[B,N], take bool[B,N], mlen int32[B,N],
+    mdist int32[B,N], freq_ll int32[B,286], freq_d int32[B,30]).
     """
     B = data.shape[0]
     n = data.shape[1] - 8
-    assert n <= MAX_BLOCK, "device deflate blocks are limited to 128KB"
+    assert n <= MAX_BLOCK and n % SEG == 0
     pos_bits = _pos_bits(n)
     pos_mask = (1 << pos_bits) - 1
     hash_bits = min(15, 32 - pos_bits)
@@ -145,80 +154,95 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
           | (d32[:, 2:n + 2] << 16) | (d32[:, 3:n + 3] << 24))
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
     L = lengths[:, None]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    # --- hash-chain candidates via one sort (nearest previous occurrence)
+    # shifted prefix words ride the sort as payloads: in sorted order the
+    # candidate's words are one-element shifts — match extension becomes
+    # elementwise payload compares instead of random reads
+    b4s = [b4]
+    for k in range(4, 4 * kwords, 4):
+        b4s.append(jnp.concatenate(
+            [b4[:, k:], jnp.zeros((B, k), _U32)], axis=-1))
+
     h = (b4 * _U32(2654435761)) >> _U32(32 - hash_bits)
     valid = (pos + 3) < L
     keys = jnp.where(valid, (h << pos_bits) | pos.astype(_U32), _INVALID)
-    sk = _sort(keys)
+    sorted_all = _vsort(keys, *b4s)
+    sk = sorted_all[0]
+    pw_sorted = sorted_all[1:]
     cur_pos = (sk & pos_mask).astype(jnp.int32)
     cur_ok = sk != _INVALID
     cur_hash = sk >> pos_bits
 
-    def _cand(dd):
+    def _matchlen_sorted(dd, nwords):
+        """Exact match length (<= 4*nwords+3) of each sorted entry vs its
+        dd-back neighbour, via payload word compares only."""
         cand = _shift_right(sk, dd, _INVALID)
         cand_pos = (cand & pos_mask).astype(jnp.int32)
         dist = cur_pos - cand_pos
         ok = (cur_ok & (cand != _INVALID) & ((cand >> pos_bits) == cur_hash)
               & (dist >= 1) & (dist <= WINDOW))
-        return dist, ok
+        mlen = jnp.zeros((B, n), jnp.int32)
+        alive = ok
+        for pw in pw_sorted[:nwords]:
+            cw = _shift_right(pw, dd, _U32(0))
+            x = pw ^ cw
+            eq = x == 0
+            part = (((x & 0xFF) == 0).astype(jnp.int32)
+                    + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                    + ((x & 0xFFFFFF) == 0).astype(jnp.int32))
+            mlen = mlen + jnp.where(alive, jnp.where(eq, 4, part), 0)
+            alive = alive & eq
+        return jnp.where(ok & (mlen >= 4), mlen, 0), dist
 
-    if depth == 1:
-        dist, ok = _cand(1)
-        best_dist15 = jnp.where(ok, dist - 1, 32767)
-    else:
-        # score candidates by 2-granule prefix equality, tie-break nearest
-        b4c = _take(b4, jnp.clip(cur_pos, 0, n - 1))
-        b4c2 = _take(b4, jnp.clip(cur_pos + 4, 0, n - 1))
-        best = jnp.zeros((B, n), jnp.int32)
-        for dd in range(1, depth + 1):
-            dist, ok = _cand(dd)
-            cp = jnp.clip(cur_pos - dist, 0, n - 1)
-            w0 = _take(b4, cp)
-            w1 = _take(b4, jnp.clip(cp + 4, 0, n - 1))
-            eq0 = w0 == b4c
-            score = eq0.astype(jnp.int32) + (eq0 & (w1 == b4c2)).astype(jnp.int32)
-            cval = jnp.where(ok & eq0, (score << 15) | (32767 - (dist - 1)), 0)
-            best = jnp.maximum(best, cval)
-        best_dist15 = jnp.where(best > 0, 32767 - (best & 0x7FFF), 32767)
+    # nearest chain entry gets the full extension; deeper entries get a
+    # short scored extension (their emitted length is the verified prefix,
+    # possibly truncated — the next parse position re-matches the tail)
+    ml_s, dist_s = _matchlen_sorted(1, kwords)
+    best = jnp.where(ml_s > 0, (ml_s << 15) | (32767 - (dist_s - 1)), 0)
+    for dd in range(2, depth + 1):
+        ml_s, dist_s = _matchlen_sorted(dd, 4)
+        cand = jnp.where(ml_s > 0, (ml_s << 15) | (32767 - (dist_s - 1)), 0)
+        best = jnp.maximum(best, cand)
 
-    # --- unscramble to position order with a second sort: positions with
-    # pos+3 >= length were masked out of the first sort, so sorted entries
-    # align with positions [0, length-3) exactly; the tail has no matches.
-    keys2 = jnp.where(cur_ok,
-                      (cur_pos.astype(_U32) << 15) | best_dist15.astype(_U32),
-                      _INVALID)
-    sk2 = _sort(keys2)
-    low = (sk2 & _U32(0x7FFF)).astype(jnp.int32)
-    dist_p = jnp.where((low != 32767) & (pos + 3 < L) & (sk2 != _INVALID),
-                       low + 1, 0)
-
-    # --- match extension in position order (one fast gather per granule;
-    # the current-side word is a static slice of the padded stream)
-    cap = min(4 * kwords + 3, 258)
+    # unscramble to position order with a second sort; invalid entries sort
+    # past all real positions, and positions >= length-3 (masked from the
+    # first sort) cannot have matches — the sorted prefix aligns 1:1 with
+    # positions [0, length-3)
+    keys2 = jnp.where(cur_ok, (cur_pos.astype(_U32) << 15)
+                      | (32767 - (best & 0x7FFF)).astype(_U32), _INVALID)
+    (sk2, ml_pay) = _vsort(keys2, best >> 15)
+    in_range = (pos + 3 < L) & (sk2 != _INVALID)
+    low15 = (sk2 & _U32(0x7FFF)).astype(jnp.int32)  # dist-1, 32767 = none
+    dist_p = jnp.where(in_range & (low15 != 32767), low15 + 1, 0)
+    mlen_h = jnp.where(dist_p > 0, ml_pay, 0)
     maxm = jnp.minimum(jnp.int32(258), L - pos)
-    b4p = jnp.pad(b4, ((0, 0), (0, 4 * kwords + 8)))
-    has = dist_p > 0
-    matched = jnp.zeros((B, n), jnp.int32)
-    alive = has
-    partial = jnp.zeros((B, n), jnp.int32)
-    src_base = pos - dist_p
-    for t in range(kwords):
-        wi = b4p[:, 4 * t:4 * t + n]
-        wj = _take(b4, jnp.clip(src_base + 4 * t, 0, n - 1))
-        eq = wi == wj
-        x = wi ^ wj
-        p3 = (((x & 0xFF) == 0).astype(jnp.int32)
-              + ((x & 0xFFFF) == 0).astype(jnp.int32)
-              + ((x & 0xFFFFFF) == 0).astype(jnp.int32))
-        partial = jnp.where(alive & ~eq, p3, partial)
-        matched = matched + jnp.where(alive & eq, 4, 0)
-        alive = alive & eq
-    mlen_h = matched + jnp.where(alive, 0, partial)
-    mlen_h = jnp.where(has, jnp.minimum(mlen_h, jnp.minimum(maxm, cap)), 0)
+    mlen_h = jnp.minimum(mlen_h, maxm)
 
-    # --- exact dist-1 runs via log-doubling (gather-free): covers RLE data
-    # beyond the hash-match cap, up to the full 258
+    # --- len-3 matches (deflate min match) from a 3-byte-hash chain; only
+    # near distances are worthwhile (zlib's too_far heuristic)
+    b3 = b4 & _U32(0xFFFFFF)
+    h3 = (b3 * _U32(2654435761)) >> _U32(32 - hash_bits)
+    valid3 = (pos + 2) < L
+    keys3 = jnp.where(valid3, (h3 << pos_bits) | pos.astype(_U32), _INVALID)
+    sk3, q3 = _vsort(keys3, b3)
+    c3 = _shift_right(sk3, 1, _INVALID)
+    c3q = _shift_right(q3, 1, _U32(0))
+    d3 = (sk3 & pos_mask).astype(jnp.int32) - (c3 & pos_mask).astype(jnp.int32)
+    ok3 = ((sk3 != _INVALID) & (c3 != _INVALID)
+           & ((c3 >> pos_bits) == (sk3 >> pos_bits)) & (q3 == c3q)
+           & (d3 >= 1) & (d3 < 4096))
+    key3b = jnp.where(sk3 != _INVALID,
+                      (((sk3 & pos_mask)) << 15)
+                      | jnp.where(ok3, d3 - 1, 32767).astype(_U32), _INVALID)
+    (sk3b,) = _vsort(key3b)
+    low3 = (sk3b & _U32(0x7FFF)).astype(jnp.int32)
+    dist3_p = jnp.where((pos + 2 < L) & (sk3b != _INVALID) & (low3 != 32767),
+                        low3 + 1, 0)
+    has3 = (dist3_p > 0) & (dist_p == 0) & (maxm >= 3)
+
+    # exact dist-1 runs via log-doubling (elementwise): covers RLE data
+    # beyond the 19-byte payload cap, up to the full 258
     eq_prev = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.bool_), data[:, 1:n] == data[:, 0:n - 1]],
         axis=-1)
@@ -233,15 +257,22 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
     use_rle = (mlen_rle >= 4) & (mlen_rle >= mlen_h)
     mlen = jnp.where(use_rle, mlen_rle, mlen_h)
     mdist = jnp.where(use_rle, 1, dist_p)
-    take_pos = (mlen >= 4) & (mdist >= 1)
-    mlen = jnp.where(take_pos, mlen, 0)
-    mdist = jnp.where(take_pos, mdist, 0)
+    take = (mlen >= 4) & (mdist >= 1)
+    # deflate's min match is 3: use near len-3 matches where nothing longer
+    m3 = has3 & ~take
+    mlen = jnp.where(m3, 3, mlen)
+    mdist = jnp.where(m3, dist3_p, mdist)
+    take = take | m3
+    if depth >= 6:
+        # one-step lazy matching (zlib levels >= 4): prefer the longer
+        # match starting one byte later
+        nxt_len = _shift_left(mlen, 1, 0)
+        take = take & ~(nxt_len > mlen)
+    mlen = jnp.where(take, mlen, 0)
+    mdist = jnp.where(take, mdist, 0)
 
-    # --- greedy parse, scatter-free: the chain 0 -> f(0) -> ... is
-    # materialized directly as a slot list.  f jumps are <= 258 < SEG, so
-    # the chain's entry into each SEG-segment is computed by a short
-    # recurrence and all segments then walk in parallel.
-    step = jnp.where(take_pos, mlen, 1)
+    # --- greedy parse: chain membership is the one random-access stage
+    step = jnp.where(take, mlen, 1)
     f = jnp.minimum(pos + step, n)
     nseg = n // SEG
     seg_end = ((pos // SEG) + 1) * SEG
@@ -254,9 +285,8 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
         X = jnp.where(X >= seg_end, X, jnp.where(X >= n, n, nxt))
         hops <<= 1
 
-    # entry recurrence over segments (lax.scan stacks outputs, no scatter)
-    def entry_step(e, s):
-        bound = (s + 1) * SEG
+    def entry_step(e, s_):
+        bound = (s_ + 1) * SEG
         nxt = _take(X, jnp.clip(e, 0, n - 1))[:, 0]
         e2 = jnp.where(e[:, 0] >= bound, e[:, 0],
                        jnp.where(e[:, 0] >= n, n, nxt))
@@ -266,7 +296,6 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
                               jnp.arange(nseg, dtype=jnp.int32))
     entries = jnp.moveaxis(entries, 0, 1)  # [B, nseg]
 
-    # parallel segment walks: emit the chain position at every step
     seg_hi = (jnp.arange(nseg, dtype=jnp.int32) + 1)[None, :] * SEG
 
     def walk_step(p, _):
@@ -276,131 +305,183 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
         return p2, out
 
     _, visited = jax.lax.scan(walk_step, entries, None, length=SEG)
-    # visited: [SEG, B, nseg] -> slots [B, nseg*SEG] in stream order
     visited = jnp.moveaxis(visited, 0, 2)  # [B, nseg, SEG]
-    seg_lo = (jnp.arange(nseg, dtype=jnp.int32) * SEG)[None, :, None]
-    seg_hi3 = seg_lo + SEG
-    ok_slot = (visited >= seg_lo) & (visited < seg_hi3) & (visited < L[:, :, None])
-    slots = jnp.where(ok_slot, visited, -1).reshape(B, n)
+    seg_lo3 = (jnp.arange(nseg, dtype=jnp.int32) * SEG)[None, :, None]
+    ok_slot = ((visited >= seg_lo3) & (visited < seg_lo3 + SEG)
+               & (visited < L[:, :, None]))
+    slots = jnp.where(ok_slot, visited, n).reshape(B, n)
 
-    # --- histograms over slots (must match K2's emission exactly)
-    sl = jnp.clip(slots, 0, n - 1)
-    v = slots >= 0
-    s_mlen = _take(mlen, sl)
-    s_take = (_take(take_pos.astype(jnp.int32), sl) > 0) & v
-    lc, _, _ = length_code(s_mlen)
-    lit = _take(data[:, :n].astype(jnp.int32), sl)
-    sym = jnp.where(s_take, lc, lit)
-    freq_ll = _hist_onehot(jnp.clip(sym, 0, 285), v, 286)
-    freq_ll = freq_ll.at[:, 256].add(1)  # EOB (scalar update, not a scatter)
-    dc, _, _ = dist_code(_take(mdist, sl))
-    freq_d = _hist_onehot(jnp.clip(dc, 0, 29), s_take, 30)
-    return slots, mlen, mdist, freq_ll, freq_d
+    # one scatter builds the chain-membership mask in position order
+    slots_b, ones_b = _OB((slots, jnp.ones((B, n), jnp.bool_)))
+    selpad = jnp.zeros((B, n + 128), jnp.bool_)
+    sel = _OB(selpad.at[rows, slots_b].set(ones_b))[:, :n]
+    sel = sel & (pos < L)
+    take = sel & take
+
+    # --- histograms (position space, elementwise symbols + MXU one-hot)
+    lc, _, _ = length_code(mlen)
+    lit = data[:, :n].astype(jnp.int32)
+    sym = jnp.where(take, lc, lit)
+    freq_ll = _hist_onehot(jnp.clip(sym, 0, 285), sel, 286)
+    freq_ll = freq_ll.at[:, 256].add(1)  # EOB (static-index update)
+    dc, _, _ = dist_code(mdist)
+    freq_d = _hist_onehot(jnp.clip(dc, 0, 29), take, 30)
+    return sel, take, mlen, mdist, freq_ll, freq_d
 
 
-def _binary_search(sorted_vals: jnp.ndarray, queries: jnp.ndarray,
-                   hi_bound: int) -> jnp.ndarray:
-    """For each query q: count of entries < q in sorted_vals (per row).
-    Hand-rolled so it lowers to fast minor-axis gathers (jnp.searchsorted
-    under vmap lowers pathologically on this target)."""
-    B, F = sorted_vals.shape
-    lo = jnp.zeros(queries.shape, jnp.int32)
-    hi = jnp.full(queries.shape, hi_bound, jnp.int32)
-    steps = int(hi_bound).bit_length()
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        v = _take(sorted_vals, jnp.clip(mid, 0, F - 1))
-        less = (v < queries) & (mid < F)  # treat positions >= F as +inf
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
-    return lo
+def _ffill_u32(marker: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Forward-fill 32-bit ``vals`` from marker positions along the minor
+    axis, elementwise only: three 12-bit planes each packed with a running
+    position key and forward-filled by cummax."""
+    B, M = marker.shape
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :] + 1  # 0 = "nothing yet"
+    key = jnp.where(marker, idx, 0)
+    out = jnp.zeros((B, M), _U32)
+    for plane in range(3):
+        part = (vals >> _U32(12 * plane)) & _U32(0xFFF)
+        packed = jnp.where(marker, (key << 12) | part.astype(jnp.int32), 0)
+        filled = jax.lax.cummax(packed, axis=1)
+        out = out | ((filled & 0xFFF).astype(_U32) << _U32(12 * plane))
+    return out
+
+
+def _lookup_sorted(table: jnp.ndarray, idx: jnp.ndarray,
+                   tbits: int) -> jnp.ndarray:
+    """y[b,i] = table[b, idx[b,i]] via sort-merge + forward-fill + unsort
+    (per-block tables; random gathers cost ~25ns/elem on this target while
+    sorts cost ~1ns/elem).  table: int32[B,T] values < 2^20; idx: int32
+    [B,N] in [0,T); tbits = ceil_log2(T)."""
+    B, T = table.shape
+    N = idx.shape[1]
+    M = T + N
+    ibits = 18  # enough for M up to 256K entries
+    # records: table entries first at each key (flag 0), queries flag 1
+    tkey = ((jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0) << 1)
+            << ibits)
+    qkey = ((idx << 1) | 1) << ibits
+    # low bits keep record identity for the unsort
+    tkey = (tkey | jnp.arange(T, dtype=jnp.int32)[None, :]).astype(_U32)
+    qkey = (qkey | (jnp.arange(N, dtype=jnp.int32)[None, :] + T)).astype(_U32)
+    keys = jnp.concatenate([tkey, qkey], axis=-1)
+    pay = jnp.concatenate([table.astype(_U32),
+                           jnp.zeros((B, N), _U32)], axis=-1)
+    skeys, spay = _vsort(keys, pay)
+    is_tab = ((skeys >> ibits) & 1) == 0
+    filled = _ffill_u32(is_tab, spay)
+    # unsort: order by record identity, keep only query records
+    rid = (skeys & ((1 << ibits) - 1)).astype(jnp.int32)
+    k2 = jnp.where(is_tab, jnp.int32(M + 1), rid - T).astype(_U32)
+    _, out = _vsort(k2, filled)
+    return out[:, :N].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("m_words",))
-def pack_blocks(data: jnp.ndarray, slots: jnp.ndarray,
+def pack_blocks(data: jnp.ndarray, sel: jnp.ndarray, take: jnp.ndarray,
                 mlen: jnp.ndarray, mdist: jnp.ndarray,
                 hdr_vals: jnp.ndarray, hdr_nbits: jnp.ndarray,
                 ll_len: jnp.ndarray, ll_code: jnp.ndarray,
                 d_len: jnp.ndarray, d_code: jnp.ndarray, m_words: int):
-    """K2: emit the deflate bitstream for a batch of blocks, scatter-free.
+    """K2: emit the deflate bitstream for a batch of blocks, scatter- and
+    gather-free (sort-merge lookups, prefix-sum packing).
 
-    Code tables are host-built per block ([B,286]/[B,30] int32 padded to
-    [B,384]/[B,128] by the caller, already mode-selected).  Returns
+    Per-position fields: position p carries the literal-or-length field;
+    position p+1 carries the distance field of a match starting at p (p+1
+    is always interior to that match).  Code tables are host-built
+    ([B,286]/[B,30] int32, already mode-selected).  Returns
     (words uint32[B, m_words], bits int32[B]).
     """
-    B, n = slots.shape
-    sl = jnp.clip(slots, 0, n - 1)
-    v = slots >= 0
+    B, n = sel.shape
+    lit = data[:, :n].astype(jnp.int32)
 
-    s_mlen = _take(mlen, sl)
-    s_mdist = _take(mdist, sl)
-    s_take = (s_mlen >= 4) & (s_mdist >= 1) & v
-    lit = _take(data[:, :n].astype(jnp.int32), sl)
+    lc, leb, lev = length_code(mlen)
+    dc, deb, dev = dist_code(mdist)
+    sym = jnp.clip(jnp.where(take, lc, lit), 0, 285)
 
-    lc, leb, lev = length_code(s_mlen)
-    dc, deb, dev = dist_code(s_mdist)
-    sym = jnp.clip(jnp.where(s_take, lc, lit), 0, 285)
-    dcc = jnp.clip(dc, 0, 29)
+    # fused per-block lookup of (code, len) pairs: value = code | len<<15
+    ll_fused = (ll_code | (ll_len << 15)).astype(jnp.int32)
+    ll_hit = _lookup_sorted(ll_fused, sym, 9)
+    ll_c = ll_hit & 0x7FFF
+    ll_n = ll_hit >> 15
+    d_fused = (d_code | (d_len << 15)).astype(jnp.int32)
+    d_hit = _lookup_sorted(d_fused, jnp.clip(dc, 0, 29), 5)
+    d_c = d_hit & 0x7FFF
+    d_n = d_hit >> 15
 
-    c0v = jnp.where(v, _take(ll_code, sym), 0)
-    c0n = jnp.where(v, _take(ll_len, sym), 0)
-    c1v = jnp.where(s_take, lev, 0)
-    c1n = jnp.where(s_take, leb, 0)
-    c2v = jnp.where(s_take, _take(d_code, dcc), 0)
-    c2n = jnp.where(s_take, _take(d_len, dcc), 0)
-    c3v = jnp.where(s_take, dev, 0)
-    c3n = jnp.where(s_take, deb, 0)
+    # field A at p: literal or length code (+ length extra), <= 20 bits
+    aV = jnp.where(sel, (ll_c | (lev << ll_n)).astype(_U32), _U32(0))
+    aN = jnp.where(sel, ll_n + jnp.where(take, leb, 0), 0)
+    # field B at p+1: distance code + extra of the match starting at p
+    bV_at_p = jnp.where(take, (d_c | (dev << d_n)).astype(_U32), _U32(0))
+    bN_at_p = jnp.where(take, d_n + deb, 0)
+    bV = _shift_right(bV_at_p, 1, _U32(0))
+    bN = _shift_right(bN_at_p, 1, 0)
+    # a match at p forbids a field at p+1 from the position grid itself
+    # (p+1 is interior), so the slot is free for the distance field
+    posV = jnp.where(bN > 0, bV, aV)
+    posN = jnp.where(bN > 0, bN, aN)
+    # sanity: aN and bN can never both be nonzero at one position — p+1 of
+    # a match is never selected
 
-    # fuse per-slot fields into two u32 fields: (litlen|len-extra) <= 20b,
-    # (dist|dist-extra) <= 28b — halves the pack field count
-    aV = (c0v | (c1v << c0n)).astype(_U32)
-    aN = c0n + c1n
-    bV = (c2v | (c3v << c2n)).astype(_U32)
-    bN = c2n + c3n
-    sym_v = jnp.stack([aV, bV], axis=2).reshape(B, 2 * n)
-    sym_n = jnp.stack([aN, bN], axis=2).reshape(B, 2 * n)
-
-    eob_v = ll_code[:, 256:257].astype(_U32)
-    eob_n = ll_len[:, 256:257]
-
-    values = jnp.concatenate([hdr_vals, sym_v, eob_v], axis=-1)
-    nbits = jnp.concatenate([hdr_nbits, sym_n, eob_n], axis=-1)
-    fpad = (-values.shape[1]) % 128  # keep gather sources 128-lane aligned
+    eob_v = ll_fused[:, 256:257]
+    eob_n = (eob_v >> 15)
+    values = jnp.concatenate([hdr_vals, posV,
+                              (eob_v & 0x7FFF).astype(_U32)], axis=-1)
+    nbits = jnp.concatenate([hdr_nbits, posN, eob_n], axis=-1)
+    fpad = (-values.shape[1]) % 128
     if fpad:
         values = jnp.pad(values, ((0, 0), (0, fpad)))
         nbits = jnp.pad(nbits, ((0, 0), (0, fpad)))
     F = values.shape[1]
 
-    # --- scatter-free packing: fields are in stream order, so their word
-    # indices are sorted; per-word values come from modular prefix-sum
-    # differences at boundaries found by binary search.  Contributions to a
-    # word occupy disjoint bit ranges (sum == or) and u32 wraparound
-    # subtraction recovers exact segment sums.
+    # --- scatter-free packing: per-field prefix sums ride a merge sort to
+    # the word-boundary queries, and per-word values are forward-filled
+    # prefix differences.  Contributions to a word occupy disjoint bit
+    # ranges (sum == or); u32 wraparound subtraction is exact.
     nb = nbits.astype(jnp.int32)
     cum = jnp.cumsum(nb, axis=-1)
     off = cum - nb
     total_bits = cum[:, -1]
 
     vmask = jnp.where(nb > 0, values.astype(_U32), _U32(0))
-    word_idx = off >> 5
     bit = (off & 31).astype(_U32)
     lo = vmask << bit
     hi = jnp.where(bit == 0, _U32(0), vmask >> (_U32(32) - bit))
-    # empty fields must not contribute; they share offsets with neighbors
     ps_lo = jnp.cumsum(lo, axis=-1)
     ps_hi = jnp.cumsum(hi, axis=-1)
-    ps_lo = jnp.concatenate([jnp.zeros((B, 1), _U32), ps_lo], axis=-1)
-    ps_hi = jnp.concatenate([jnp.zeros((B, 1), _U32), ps_hi], axis=-1)
+    word_idx = off >> 5
 
+    # merge fields and word queries: field record key = (word_idx, 1),
+    # query key = (w, 0) — queries precede same-word fields, so the
+    # forward-filled ps value at a query is the ps of the last field of
+    # word w-1, i.e. the prefix boundary we need.
     wq = jnp.arange(m_words, dtype=jnp.int32)[None, :].repeat(B, 0)
-    b_lo = _binary_search(word_idx, wq, F)        # first field with widx >= w
-    b_hi = _binary_search(word_idx, wq + 1, F)    # first field with widx > w
-    seg = lambda ps, a, b: _take(ps, b) - _take(ps, a)
-    w_direct = seg(ps_lo, b_lo, b_hi)
-    # hi parts land one word later: contributions from fields of word w-1
-    b_lo_m1 = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), b_lo[:, :-1]],
-                              axis=-1)
-    w_carry = seg(ps_hi, b_lo_m1, b_lo)
+    fkey = ((word_idx << 1) | 1).astype(_U32) << 13
+    qkey = (wq << 1).astype(_U32) << 13
+    # identity bits for the compaction; m_words <= 2^13*... use full sort
+    keys = jnp.concatenate([fkey, qkey], axis=-1)
+    ident = jnp.concatenate(
+        [jnp.zeros((B, F), jnp.int32),
+         jnp.arange(m_words, dtype=jnp.int32)[None, :].repeat(B, 0) + 1],
+        axis=-1)
+    pl = jnp.concatenate([ps_lo, jnp.zeros((B, m_words), _U32)], axis=-1)
+    ph = jnp.concatenate([ps_hi, jnp.zeros((B, m_words), _U32)], axis=-1)
+    skeys, sident, spl, sph = _vsort(keys, ident, pl, ph)
+    is_field = (skeys >> 13) & 1 == 1
+    fl = _ffill_u32(is_field, spl)
+    fh = _ffill_u32(is_field, sph)
+    # compact query records back to word order
+    k2 = jnp.where(is_field, jnp.int32(F + m_words + 2), sident).astype(_U32)
+    _, cfl, cfh = _vsort(k2, fl, fh)
+    bnd_lo = cfl[:, :m_words]   # ps_lo at last field of word w-1
+    bnd_hi = cfh[:, :m_words]
+    nxt_lo = jnp.concatenate(
+        [bnd_lo[:, 1:], jnp.cumsum(lo, axis=-1)[:, -1:]], axis=-1)
+    nxt_hi = jnp.concatenate(
+        [bnd_hi[:, 1:], jnp.cumsum(hi, axis=-1)[:, -1:]], axis=-1)
+    w_direct = nxt_lo - bnd_lo          # sum of lo parts of word w's fields
+    prev_hi = jnp.concatenate(
+        [jnp.zeros((B, 1), _U32), bnd_hi[:, :-1]], axis=-1)
+    w_carry = bnd_hi - prev_hi          # hi parts of word w-1's fields
     words = w_direct + w_carry
     return words, total_bits
 
@@ -418,22 +499,15 @@ def encode_blocks(data, lengths, depth: int, kwords: int,
 
     data = jnp.asarray(data)
     lengths = jnp.asarray(lengths)
-    slots, mlen, mdist, freq_ll, freq_d = analyze_blocks(
+    sel, take, mlen, mdist, freq_ll, freq_d = analyze_blocks(
         data, lengths, depth, kwords)
     mode, ll_len, ll_code, d_len, d_code, hv, hn, _est = \
         native.huff_build_batch(np.asarray(freq_ll), np.asarray(freq_d),
                                 np.asarray(lengths), allow_dynamic,
                                 32 * m_words, HDR_MAX)
-
-    def pad128(a):
-        w = (a.shape[1] + 127) & ~127
-        out = np.zeros((a.shape[0], w), a.dtype)
-        out[:, :a.shape[1]] = a
-        return jnp.asarray(out)
-
     words, bits = pack_blocks(
-        data, slots, mlen, mdist,
+        data, sel, take, mlen, mdist,
         jnp.asarray(hv.astype(np.uint32)), jnp.asarray(hn),
-        pad128(ll_len), pad128(ll_code), pad128(d_len), pad128(d_code),
-        m_words)
+        jnp.asarray(ll_len), jnp.asarray(ll_code),
+        jnp.asarray(d_len), jnp.asarray(d_code), m_words)
     return np.asarray(words), np.asarray(bits), mode

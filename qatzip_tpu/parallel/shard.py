@@ -58,7 +58,7 @@ def compress_blocks_sharded(mesh, data_pad: np.ndarray, lengths: np.ndarray,
     data = jax.device_put(jnp.asarray(data_pad), mat)
     lens = jax.device_put(jnp.asarray(lengths), row)
 
-    slots, mlen, mdist, freq_ll, freq_d = de.analyze_blocks(
+    sel, take, mlen, mdist, freq_ll, freq_d = de.analyze_blocks(
         data, lens, depth, kwords)
     mode, ll_len, ll_code, d_len, d_code, hv, hn, _est = \
         native.huff_build_batch(np.asarray(freq_ll), np.asarray(freq_d),
@@ -66,15 +66,10 @@ def compress_blocks_sharded(mesh, data_pad: np.ndarray, lengths: np.ndarray,
                                 32 * m_words, de.HDR_MAX)
 
     def put(a):
-        w = (a.shape[1] + 127) & ~127
-        out = np.zeros((a.shape[0], w), a.dtype)
-        out[:, :a.shape[1]] = a
-        return jax.device_put(jnp.asarray(out), mat)
+        return jax.device_put(jnp.asarray(a), mat)
 
-    words, bits = de.pack_blocks(data, slots, mlen, mdist,
-                                 jax.device_put(jnp.asarray(
-                                     hv.astype(np.uint32)), mat),
-                                 jax.device_put(jnp.asarray(hn), mat),
+    words, bits = de.pack_blocks(data, sel, take, mlen, mdist,
+                                 put(hv.astype(np.uint32)), put(hn),
                                  put(ll_len), put(ll_code),
                                  put(d_len), put(d_code), m_words)
     return words, bits, mode
