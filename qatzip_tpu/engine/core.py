@@ -20,7 +20,7 @@ import xxhash
 
 from qatzip_tpu import constants as C
 from qatzip_tpu.constants import DataFormatInternal, QzDirection
-from qatzip_tpu.engine import framing
+from qatzip_tpu.engine import devcal, framing
 from qatzip_tpu.engine.backend import Backend, CompressedChunk
 from qatzip_tpu.engine.cpu_backend import CpuBackend
 from qatzip_tpu.formats import gzip_fmt, lz4_fmt, zlib_fmt
@@ -166,6 +166,13 @@ def choose_backend(sess: QzSession, src_len: int,
             return _engine.hw_backend, False
         if sw_avg == 0 or sw_avg < hw_avg:
             return _engine.cpu_backend, True
+        return _engine.hw_backend, False
+    # Default mode: the device path engages only where a measured
+    # calibration (or an explicit operator override) says it beats the CPU
+    # path on this host — a badly-attached device must never regress the
+    # default API (see engine/devcal.py).
+    if not devcal.device_allowed(direction):
+        return _engine.cpu_backend, True
     return _engine.hw_backend, False
 
 

@@ -1,0 +1,144 @@
+"""Device capability calibration: measured HW-vs-SW routing policy.
+
+The reference can assume its ASIC beats zlib and routes every eligible
+request to it (isQATProcessable, src/qatzip_utils.c:997-1033).  A TPU is
+not that simple: depending on how the chip is attached (PCIe vs a network
+tunnel) the device path may be faster or catastrophically slower than the
+CPU path (PERF.md: device->host readback varies by ~300x between hosts).
+
+Policy, in order of precedence:
+  1. env QATZIP_TPU_DEVICE = "1"/"force" (always use device when capable)
+     or "0"/"off" (never) — the operator override;
+  2. a saved calibration record (written by ``calibrate()``, the bench, or
+     the CLI's --calibrate flag) comparing measured device vs CPU GB/s on
+     this host: device is used only where it measured faster;
+  3. no record: the CPU path (safe default — a user on a badly-attached
+     device must never see a 100x regression; reference analog is the
+     sw_backup default, include/qatzip.h:617-632).
+
+Latency-sensitive mode (is_sensitive_mode) bypasses this gate: its own
+latency matrices probe and adapt per session (chooseLSMPath, reference
+src/qatzip.c:287-297).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+_CAL_ENV = "QATZIP_TPU_DEVCAL_PATH"
+_FORCE_ENV = "QATZIP_TPU_DEVICE"
+_cache: dict | None = None
+_cache_path: str | None = None
+
+
+def _cal_path() -> str:
+    p = os.environ.get(_CAL_ENV)
+    if p:
+        return p
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "qatzip_tpu", "devcal.json")
+
+
+def _load() -> dict:
+    global _cache, _cache_path
+    path = _cal_path()
+    if _cache is not None and _cache_path == path:
+        return _cache
+    try:
+        with open(path) as f:
+            _cache = json.load(f)
+    except (OSError, ValueError):
+        _cache = {}
+    _cache_path = path
+    return _cache
+
+
+def invalidate() -> None:
+    global _cache
+    _cache = None
+
+
+def device_allowed(direction) -> bool:
+    """Is the device path allowed for this direction under current policy?"""
+    force = os.environ.get(_FORCE_ENV, "").lower()
+    if force in ("1", "force", "on", "true"):
+        return True
+    if force in ("0", "off", "false"):
+        return False
+    cal = _load()
+    if not cal:
+        return False
+    from qatzip_tpu.constants import QzDirection
+
+    if direction == QzDirection.QZ_DIR_COMPRESS:
+        return bool(cal.get("comp_device_wins", False))
+    if direction == QzDirection.QZ_DIR_DECOMPRESS:
+        return bool(cal.get("decomp_device_wins", False))
+    return bool(cal.get("comp_device_wins", False)) and \
+        bool(cal.get("decomp_device_wins", False))
+
+
+def calibrate(sample_bytes: int = 2 << 20, level: int = 1,
+              save: bool = True) -> dict:
+    """Measure device vs CPU throughput on this host and persist the
+    routing record.  Expensive on first run (kernel compiles); meant to be
+    invoked explicitly (bench, CLI --calibrate, ops tooling) — never from
+    the request path."""
+    import numpy as np
+
+    from qatzip_tpu.constants import DataFormatInternal, QzHuffmanHdr
+    from qatzip_tpu.engine.cpu_backend import CpuBackend
+    from qatzip_tpu.session import InternalParams
+
+    rng = np.random.default_rng(0)
+    words = [rng.integers(0, 256, rng.integers(3, 9), dtype=np.uint8)
+             for _ in range(64)]
+    stream = np.concatenate([words[i] for i in
+                             rng.integers(0, 64, sample_bytes // 4)])
+    data = stream[:sample_bytes].tobytes()
+
+    p = InternalParams()
+    p.comp_lvl = level
+    p.data_fmt = DataFormatInternal.DEFLATE_GZIP_EXT
+    p.huffman_hdr = QzHuffmanHdr.QZ_DYNAMIC_HDR
+    n = p.hw_buff_sz
+    chunks = [data[i:i + n] for i in range(0, len(data), n)]
+
+    cpu = CpuBackend()
+    rec: dict = {"sample_bytes": sample_bytes, "level": level,
+                 "ts": time.time()}
+
+    def timed(fn, *args):
+        fn(*args)  # warm (compile)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        return out, sample_bytes / max(time.perf_counter() - t0, 1e-9) / 1e9
+
+    comp_cpu, rec["cpu_comp_gbps"] = timed(cpu.compress_chunks, chunks, p)
+    payloads = [c.payload for c in comp_cpu]
+    hints = [len(c) for c in chunks]
+    _, rec["cpu_decomp_gbps"] = timed(cpu.decompress_chunks, payloads,
+                                      hints, p)
+    try:
+        from qatzip_tpu.ops.device_codecs import DeflateDeviceCodec
+
+        dev = DeflateDeviceCodec()
+        _, rec["dev_comp_gbps"] = timed(dev.compress_chunks, chunks, p)
+        _, rec["dev_decomp_gbps"] = timed(dev.decompress_chunks, payloads,
+                                          hints, p)
+    except Exception as exc:  # no device / kernel failure -> CPU-only
+        rec["device_error"] = repr(exc)
+        rec["dev_comp_gbps"] = 0.0
+        rec["dev_decomp_gbps"] = 0.0
+    rec["comp_device_wins"] = rec["dev_comp_gbps"] > rec["cpu_comp_gbps"]
+    rec["decomp_device_wins"] = (rec["dev_decomp_gbps"]
+                                 > rec["cpu_decomp_gbps"])
+    if save:
+        path = _cal_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        invalidate()
+    return rec

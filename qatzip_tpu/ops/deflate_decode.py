@@ -1,0 +1,585 @@
+"""DEFLATE decoder on device (JAX/XLA) — the TPU analog of the reference's
+HW decompress path (cpaDcDecompressData, reference src/qatzip.c:2103-2355,
+:2446-2671).
+
+Serial entropy decode is hostile to a vector machine, so the kernel decodes
+*speculatively at every bit position* and then extracts the one true symbol
+chain:
+
+  1. Host parses block headers (tiny: 3 bits + at most ~300 code lengths)
+     and builds flat 15-bit lookup tables per block — the two-level-table
+     role collapsed into one 32768-entry direct table per stream
+     (128-aligned minor dim: gathers from it run at full speed, PERF.md).
+  2. Device: for EVERY bit position p of the block, decode one
+     (symbol, consumed-bits, match-len, dist) record via table gathers and
+     compute the successor position f(p).  All elementwise + minor-axis
+     gathers; no scatters.
+  3. The true chain 0 -> f(0) -> f(f(0)) -> ... -> EOB is materialized with
+     the segment-entry recurrence + parallel segment walks (the same
+     pattern as the encoder's greedy parse, ops/deflate_encode.py), giving
+     the symbol list in output order.
+  4. Output reconstruction: records ride a merge sort onto the output
+     grid (scatter-free interval stabbing), then LZ77 back-references are
+     resolved with pointer doubling over the source map — log2(n) gathers
+     resolve arbitrarily chained/overlapping copies, with the 32KB history
+     window prepended for cross-block references.
+
+Bit-exactness contract: decompressed output must match system zlib/gzip
+exactly (BASELINE.md).  Any stream the kernel cannot prove correct
+(over-subscribed code, invalid symbol, window underrun, output overflow)
+reports an error and the caller falls back to the CPU path — mirroring the
+reference's HW->SW failover (src/qatzip_sw.c:792-846).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from qatzip_tpu.ops import deflate_tables as T
+
+MAX_PAYLOAD = 1 << 20     # payloads larger than 1 MB route to the CPU path
+MAX_OUTCAP = 1 << 20
+SEG = 512                 # chain-walk segment width (bits)
+
+_LL_ENTRY_INVALID = 0
+
+# ---------------------------------------------------------------------------
+# Host side: bit reader, header parsing, flat table build
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    """LSB-first bit reader over bytes (deflate bit order, RFC1951 3.1.1)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # absolute bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            byi = p >> 3
+            if byi >= len(self.data):
+                raise EOFError("deflate stream truncated")
+            v |= ((self.data[byi] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+def _pack_ll_entries(lens: np.ndarray) -> np.ndarray:
+    """Per-symbol packed entry: sym|len<<9|extra_bits<<13|len_base<<16."""
+    nsym = len(lens)
+    sym = np.arange(nsym, dtype=np.uint32)
+    entry = sym | (lens.astype(np.uint32) << 9)
+    lbase = np.zeros(nsym, np.uint32)
+    leb = np.zeros(nsym, np.uint32)
+    hi = min(nsym, 286)
+    for s in range(257, hi):
+        i = s - 257
+        lbase[s] = T._LENGTH_BASE[i]
+        leb[s] = T._LENGTH_EXTRA[i]
+    entry |= (leb << 13) | (lbase << 16)
+    entry[lens == 0] = _LL_ENTRY_INVALID
+    return entry
+
+
+def _pack_d_entries(lens: np.ndarray) -> np.ndarray:
+    """Per-distance-symbol packed entry: len|extra_bits<<4|dist_base<<8."""
+    nsym = len(lens)
+    entry = lens.astype(np.uint32)
+    deb = np.zeros(nsym, np.uint32)
+    dbase = np.zeros(nsym, np.uint32)
+    hi = min(nsym, 30)
+    dbase[:hi] = np.asarray(T._DIST_BASE[:hi], np.uint32)
+    deb[:hi] = np.asarray(T._DIST_EXTRA[:hi], np.uint32)
+    entry |= (deb << 4) | (dbase << 8)
+    entry[lens == 0] = 0
+    if nsym > 30:  # symbols 30/31 are invalid in a stream
+        entry[30:] = 0
+    return entry
+
+
+def _bitrev_vec(v: np.ndarray, l: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(v)
+    work = v.copy()
+    maxl = int(l.max()) if l.size else 0
+    for _ in range(maxl):
+        out = (out << 1) | (work & 1)
+        work >>= 1
+    # codes shorter than maxl got over-rotated; shift back
+    return out >> (maxl - l)
+
+
+def build_flat_table(lens: np.ndarray, entries: np.ndarray) -> np.ndarray:
+    """Flat 2^15-entry decode table: index = next 15 raw stream bits.
+
+    For a code of length l the low l bits select it (deflate packs the
+    MSB-first Huffman code into LSB-first stream order, so the table is
+    filled at the bit-reversed code for every junk-fill of the top bits).
+    Unassigned slots stay 0 (invalid -> len field 0).
+    Raises ValueError on an over-subscribed code (kernel would mis-decode).
+    """
+    lens = lens.astype(np.int64)
+    codes = T.canonical_codes(lens.astype(np.int32)).astype(np.int64)
+    if ((codes >> np.maximum(lens, 1)) != 0).any():
+        raise ValueError("over-subscribed Huffman code")
+    table = np.zeros(1 << 15, np.uint32)
+    for l in range(1, 16):
+        syms = np.nonzero(lens == l)[0]
+        if syms.size == 0:
+            continue
+        rc = _bitrev_vec(codes[syms], np.full(syms.size, l, np.int64))
+        fills = np.arange(1 << (15 - l), dtype=np.int64) << l
+        idx = (rc[:, None] | fills[None, :]).reshape(-1)
+        table[idx] = np.repeat(entries[syms], 1 << (15 - l))
+    return table
+
+
+@functools.lru_cache(maxsize=1)
+def static_tables() -> tuple[np.ndarray, np.ndarray]:
+    ll_lens = T.STATIC_LITLEN_LEN
+    d_lens = T.STATIC_DIST_LEN
+    tll = build_flat_table(ll_lens, _pack_ll_entries(ll_lens))
+    td = build_flat_table(d_lens, _pack_d_entries(d_lens))
+    return tll, td
+
+
+def parse_dynamic_header(br: _Bits) -> tuple[np.ndarray, np.ndarray]:
+    """Parse the BTYPE=10 code-length section (RFC1951 3.2.7).  Returns
+    (litlen lens[hlit], dist lens[hdist])."""
+    hlit = br.read(5) + 257
+    hdist = br.read(5) + 1
+    hclen = br.read(4) + 4
+    cl_lens = np.zeros(19, np.int32)
+    for i in range(hclen):
+        cl_lens[T.CLCODE_ORDER[i]] = br.read(3)
+    cl_codes = T.canonical_codes(cl_lens)
+    # host decode of the ~300 code lengths via a dict keyed by (len, code)
+    dec = {}
+    for s in range(19):
+        if cl_lens[s]:
+            dec[(int(cl_lens[s]), int(cl_codes[s]))] = s
+    lens = np.zeros(hlit + hdist, np.int32)
+    i = 0
+    while i < hlit + hdist:
+        code = 0
+        clen = 0
+        while True:
+            code = (code << 1) | br.read(1)
+            clen += 1
+            if clen > 15:
+                raise ValueError("bad code-length code")
+            if (clen, code) in dec:
+                sym = dec[(clen, code)]
+                break
+        if sym < 16:
+            lens[i] = sym
+            i += 1
+        elif sym == 16:
+            if i == 0:
+                raise ValueError("repeat with no previous length")
+            rep = 3 + br.read(2)
+            lens[i:i + rep] = lens[i - 1]
+            i += rep
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    if i != hlit + hdist:
+        raise ValueError("code-length overrun")
+    return lens[:hlit], lens[hlit:]
+
+
+# ---------------------------------------------------------------------------
+# Device kernel
+# ---------------------------------------------------------------------------
+
+
+def _ffill_key24(marker, vals):
+    """Forward-fill 24-bit vals from marker positions (uint32 cummax with a
+    20-bit position key riding above two 12-bit value planes)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, M = marker.shape
+    idx = (jnp.arange(M, dtype=jnp.uint32)[None, :] + 1)
+    key = jnp.where(marker, idx, jnp.uint32(0))
+    out = jnp.zeros((B, M), jnp.uint32)
+    for plane in range(2):
+        part = (vals >> jnp.uint32(12 * plane)) & jnp.uint32(0xFFF)
+        packed = jnp.where(marker, (key << 12) | part, jnp.uint32(0))
+        filled = jax.lax.cummax(packed, axis=1)
+        out = out | ((filled & jnp.uint32(0xFFF)) << jnp.uint32(12 * plane))
+    return out
+
+
+def _decode_kernel_impl(pay, bit0, tll, td, window, wlen, nbits, outcap):
+    import jax
+    import jax.numpy as jnp
+    from qatzip_tpu.ops.deflate_encode import _take, _vsort
+
+    _U32 = jnp.uint32
+    B, PB = pay.shape
+    q = jnp.arange(nbits, dtype=jnp.int32)[None, :]
+    p = bit0[:, None] + q                       # absolute bit positions
+    payi = pay.astype(_U32)
+
+    def bits_at(pp):
+        """25 valid low bits of the stream starting at absolute bit pp."""
+        byi = pp >> 3
+        w = _take(payi, jnp.clip(byi, 0, PB - 1))
+        w = w | (_take(payi, jnp.clip(byi + 1, 0, PB - 1)) << 8)
+        w = w | (_take(payi, jnp.clip(byi + 2, 0, PB - 1)) << 16)
+        w = w | (_take(payi, jnp.clip(byi + 3, 0, PB - 1)) << 24)
+        return w >> (pp & 7).astype(_U32)
+
+    # --- speculative decode at every bit position -------------------------
+    e = _take(tll, (bits_at(p) & _U32(0x7FFF)).astype(jnp.int32))
+    sym = (e & _U32(511)).astype(jnp.int32)
+    clen = ((e >> 9) & _U32(15)).astype(jnp.int32)
+    leb = ((e >> 13) & _U32(7)).astype(jnp.int32)
+    lbase = ((e >> 16) & _U32(511)).astype(jnp.int32)
+    lex = (bits_at(p + clen)
+           & ((_U32(1) << leb.astype(_U32)) - 1)).astype(jnp.int32)
+    mlen = lbase + lex
+    p2 = p + clen + leb
+
+    ed = _take(td, (bits_at(p2) & _U32(0x7FFF)).astype(jnp.int32))
+    dlen = (ed & _U32(15)).astype(jnp.int32)
+    deb = ((ed >> 4) & _U32(15)).astype(jnp.int32)
+    dbase = (ed >> 8).astype(jnp.int32)
+    dex = (bits_at(p2 + dlen)
+           & ((_U32(1) << deb.astype(_U32)) - 1)).astype(jnp.int32)
+    dist = dbase + dex
+
+    valid = clen > 0
+    iseob = valid & (sym == 256)
+    islen = valid & (sym > 256) & (sym <= 285)
+    islit = valid & (sym < 256)
+    bad = (~valid) | (valid & (sym > 285)) | (islen & (dlen == 0))
+    f_abs = jnp.where(islen, p2 + dlen + deb, p + clen)
+    adv = jnp.where(islit, 1, jnp.where(islen, mlen, 0))
+
+    n = nbits
+    f = jnp.clip(f_abs - bit0[:, None], 0, n)
+    f = jnp.where(iseob | bad, n, f)
+    f = jnp.maximum(f, q + 1)  # guarantee progress even on garbage entries
+
+    # --- materialize the true chain (segment-entry recurrence + walks,
+    #     same pattern as the encoder's greedy parse) ----------------------
+    nseg = n // SEG
+    seg_end = ((q // SEG) + 1) * SEG
+    X = f
+    hops = 1
+    while hops < SEG:
+        nxt = _take(X, jnp.clip(X, 0, n - 1))
+        X = jnp.where(X >= seg_end, X, jnp.where(X >= n, n, nxt))
+        hops <<= 1
+
+    def entry_step(e_, s_):
+        bound = (s_ + 1) * SEG
+        nxt = _take(X, jnp.clip(e_, 0, n - 1))[:, 0]
+        e2 = jnp.where(e_[:, 0] >= bound, e_[:, 0],
+                       jnp.where(e_[:, 0] >= n, n, nxt))
+        return e2[:, None], e_[:, 0]
+
+    _, entries = jax.lax.scan(entry_step, jnp.zeros((B, 1), jnp.int32),
+                              jnp.arange(nseg, dtype=jnp.int32))
+    entries = jnp.moveaxis(entries, 0, 1)       # [B, nseg]
+
+    seg_hi = (jnp.arange(nseg, dtype=jnp.int32) + 1)[None, :] * SEG
+
+    def walk_step(pp, _):
+        out = pp
+        nxt = _take(f, jnp.clip(pp, 0, n - 1))
+        pp2 = jnp.where(pp < seg_hi, nxt, pp)
+        return pp2, out
+
+    _, visited = jax.lax.scan(walk_step, entries, None, length=SEG)
+    visited = jnp.moveaxis(visited, 0, 2)       # [B, nseg, SEG]
+    seg_lo3 = (jnp.arange(nseg, dtype=jnp.int32) * SEG)[None, :, None]
+    ok_slot = ((visited >= seg_lo3) & (visited < seg_lo3 + SEG)
+               & (visited < n)).reshape(B, n)
+    vlist = visited.reshape(B, n)               # chain positions, in order
+
+    # per-chain-record fields (gathers in chain order)
+    vl = jnp.clip(vlist, 0, n - 1)
+    sym_v = _take(sym, vl)
+    adv_v = jnp.where(ok_slot, _take(adv, vl), 0)
+    dist_v = _take(dist, vl)
+    bad_v = ok_slot & _take(bad, vl)
+    eob_v = ok_slot & _take(iseob, vl)
+    end_v = _take(p + clen, vl)                 # bit after this symbol
+
+    cum = jnp.cumsum(adv_v, axis=-1)
+    off_v = cum - adv_v
+    out_len = cum[:, -1]
+    err = jnp.any(bad_v, axis=-1)
+    err = err | ~jnp.any(eob_v, axis=-1)
+    err = err | (out_len > outcap)
+    end_bit = jnp.max(jnp.where(eob_v, end_v, -1), axis=-1)
+
+    # --- place records onto the output grid (merge sort + forward fill) --
+    isrec = ok_slot & (adv_v > 0)
+    rec_lit = isrec & (sym_v < 256)
+    # value: islit | byte<<1 | (dist-1)<<9  (24 bits; dist can reach 32768)
+    rval = (rec_lit.astype(_U32)
+            | (jnp.where(rec_lit, sym_v, 0).astype(_U32) << 1)
+            | (jnp.where(isrec & ~rec_lit, dist_v - 1, 0).astype(_U32) << 9))
+    okey = jnp.clip(off_v, 0, outcap - 1).astype(_U32)
+    rkey = jnp.where(isrec, okey << 1, _U32(0xFFFFFFFF))
+    j = jnp.arange(outcap, dtype=jnp.int32)[None, :]
+    gkey = ((j.astype(_U32) << 1) | 1)
+    keys = jnp.concatenate([rkey, jnp.broadcast_to(gkey, (B, outcap))],
+                           axis=-1)
+    vals = jnp.concatenate([rval, jnp.zeros((B, outcap), _U32)], axis=-1)
+    ident = jnp.concatenate(
+        [jnp.full((B, n), outcap, jnp.int32),
+         jnp.broadcast_to(j, (B, outcap))], axis=-1).astype(_U32)
+    sk, sv, sid = _vsort(keys, vals, ident)
+    ismark = ((sk & 1) == 0)
+    filled = _ffill_key24(ismark, sv)
+    _, per_j = _vsort(sid, filled)
+    per_j = per_j[:, :outcap]
+
+    in_out = j < out_len[:, None]
+    islit_j = ((per_j & 1) == 1) | ~in_out
+    byte_j = ((per_j >> 1) & _U32(0xFF)).astype(jnp.int32)
+    dist_j = ((per_j >> 9) & _U32(0x7FFF)).astype(jnp.int32) + 1
+
+    # --- resolve LZ77 copies: pointer doubling over the source map -------
+    W = 32768
+    g = j + W
+    src = jnp.where(islit_j, g, g - dist_j)
+    err = err | jnp.any(in_out & ~islit_j
+                        & (src < (W - wlen[:, None])), axis=-1)
+    src_full = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W)),
+         src], axis=-1)
+    val_full = jnp.concatenate(
+        [window.astype(jnp.int32),
+         jnp.where(islit_j, byte_j, 0)], axis=-1)
+    res_full = jnp.concatenate(
+        [jnp.ones((B, W), jnp.bool_), islit_j], axis=-1)
+    total = W + outcap
+    steps = 1
+    while steps < total:
+        sc = jnp.clip(src_full, 0, total - 1)
+        rs = _take(res_full, sc)
+        vs = _take(val_full, sc)
+        ss = _take(src_full, sc)
+        newly = (~res_full) & rs
+        val_full = jnp.where(newly, vs, val_full)
+        src_full = jnp.where(res_full | newly, src_full, ss)
+        res_full = res_full | rs
+        steps <<= 1
+    err = err | ~jnp.all(res_full, axis=-1)
+    out = jnp.where(in_out, val_full[:, W:], 0).astype(jnp.uint8)
+    return out, out_len, end_bit, err
+
+
+_kernel_cache: dict = {}
+
+
+def _decode_kernel(nbits: int, outcap: int):
+    key = (nbits, outcap)
+    fn = _kernel_cache.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(functools.partial(_decode_kernel_impl,
+                                       nbits=nbits, outcap=outcap))
+        _kernel_cache[key] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration: multi-block inflate over a batch of streams
+# ---------------------------------------------------------------------------
+
+
+class _Stream:
+    __slots__ = ("payload", "hint", "bits", "out", "window", "done", "failed",
+                 "final_block", "index", "_tables")
+
+    def __init__(self, payload: bytes, hint: int, index: int):
+        self.payload = payload
+        self.hint = hint
+        self.bits = _Bits(payload)
+        self.out = bytearray()
+        self.window = b""
+        self.done = False
+        self.failed = False
+        self.final_block = False
+        self.index = index
+
+    def push(self, data: bytes) -> None:
+        self.out += data
+        w = self.window + data
+        self.window = w[-32768:] if len(w) > 32768 else w
+
+
+def _next_pow2(x: int, lo: int) -> int:
+    p = lo
+    while p < x:
+        p <<= 1
+    return p
+
+
+def inflate_batch(payloads, hints, max_rounds: int = 64):
+    """Inflate complete raw-deflate streams on device.
+
+    Returns a list of (data: bytes, end_of_stream: bool) entries, or None
+    for streams that must fall back to the CPU path (unsupported size,
+    malformed-but-recoverable-by-zlib constructs, kernel error flags).
+    """
+    streams = []
+    for i, (pl, hint) in enumerate(zip(payloads, hints)):
+        s = _Stream(bytes(pl), int(hint), i)
+        if len(s.payload) == 0 or len(s.payload) > MAX_PAYLOAD:
+            s.failed = True
+        if hint is not None and hint > MAX_OUTCAP:
+            s.failed = True
+        streams.append(s)
+
+    for _ in range(max_rounds):
+        batch = []
+        for s in streams:
+            if s.done or s.failed:
+                continue
+            # parse as many host-handled (stored) blocks as possible and
+            # stop at a Huffman block or stream end
+            try:
+                while not s.done:
+                    kind = _parse_one_header(s)
+                    if kind == "huff":
+                        batch.append(s)
+                        break
+            except (EOFError, ValueError):
+                s.failed = True
+        if not batch:
+            break
+        _run_device_round(batch)
+
+    results = []
+    for s in streams:
+        if s.failed or not s.done:
+            results.append(None)
+        else:
+            results.append((bytes(s.out), True))
+    return results
+
+
+def _parse_one_header(s: _Stream) -> str:
+    """Advance past one block header.  Returns 'huff' (device decode needed;
+    tables stashed on the stream), or handles a stored block / stream end
+    inline and returns 'stored' / 'end'."""
+    br = s.bits
+    bfinal = br.read(1)
+    btype = br.read(2)
+    s.final_block = bool(bfinal)
+    if btype == 0:
+        br.pos = (br.pos + 7) & ~7  # byte-align
+        byi = br.pos >> 3
+        if byi + 4 > len(s.payload):
+            raise EOFError("truncated stored block")
+        ln = int.from_bytes(s.payload[byi:byi + 2], "little")
+        nlen = int.from_bytes(s.payload[byi + 2:byi + 4], "little")
+        if ln != (~nlen & 0xFFFF):
+            raise ValueError("stored block LEN/NLEN mismatch")
+        data = s.payload[byi + 4:byi + 4 + ln]
+        if len(data) != ln:
+            raise EOFError("truncated stored block data")
+        s.push(data)
+        br.pos = (byi + 4 + ln) << 3
+        if bfinal:
+            s.done = True
+            return "end"
+        return "stored"
+    if btype == 1:
+        s._tables = static_tables()  # type: ignore[attr-defined]
+        return "huff"
+    if btype == 2:
+        ll_lens, d_lens = parse_dynamic_header(br)
+        tll = build_flat_table(ll_lens, _pack_ll_entries(ll_lens))
+        # a block may legally have no distance code at all (d_lens all 0 or
+        # a single zero-length entry) — matches then are invalid anyway
+        td = build_flat_table(d_lens, _pack_d_entries(d_lens))
+        s._tables = (tll, td)  # type: ignore[attr-defined]
+        return "huff"
+    raise ValueError("reserved BTYPE")
+
+
+def _run_device_round(batch) -> None:
+    import jax.numpy as jnp
+
+    pb = max(len(s.payload) - (s.bits.pos >> 3) for s in batch)
+    nbits = _next_pow2(max(pb * 8 + 64, SEG * 2), 4096)
+    if nbits // SEG < 2:
+        nbits = SEG * 2
+    outcap = _next_pow2(
+        max(max((s.hint if s.hint and s.hint > 0 else 1 << 16)
+                for s in batch), 1 << 12), 4096)
+    outcap = min(outcap, MAX_OUTCAP)
+
+    # block-DP decode: pad the batch to the local mesh size and shard the
+    # batch axis (padding rows decode garbage and are dropped)
+    from qatzip_tpu.parallel.shard import local_mesh
+
+    mesh = local_mesh()
+    B = len(batch)
+    if mesh is not None and B > 1:
+        ndev = mesh.devices.size
+        B = ((B + ndev - 1) // ndev) * ndev
+    elif B == 1:
+        mesh = None
+    pbytes = max(len(s.payload) for s in batch)
+    PB = ((pbytes + 4 + 127) // 128) * 128 + 128
+    pay = np.zeros((B, PB), np.uint8)
+    bit0 = np.zeros((B,), np.int32)
+    tll = np.zeros((B, 1 << 15), np.uint32)
+    td = np.zeros((B, 1 << 15), np.uint32)
+    window = np.zeros((B, 32768), np.uint8)
+    wlen = np.zeros((B,), np.int32)
+    for i, s in enumerate(batch):
+        pay[i, :len(s.payload)] = np.frombuffer(s.payload, np.uint8)
+        bit0[i] = s.bits.pos
+        tll[i], td[i] = s._tables  # type: ignore[attr-defined]
+        w = s.window
+        if w:
+            window[i, 32768 - len(w):] = np.frombuffer(w, np.uint8)
+        wlen[i] = len(s.window)
+
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mat = NamedSharding(mesh, P("block", None))
+        row = NamedSharding(mesh, P("block"))
+
+        def up(a):
+            return jax.device_put(jnp.asarray(a),
+                                  mat if a.ndim == 2 else row)
+    else:
+        up = jnp.asarray
+
+    fn = _decode_kernel(nbits, outcap)
+    out, out_len, end_bit, err = fn(
+        up(pay), up(bit0), up(tll), up(td), up(window), up(wlen))
+    out = np.asarray(out)
+    out_len = np.asarray(out_len)
+    end_bit = np.asarray(end_bit)
+    err = np.asarray(err)
+
+    for i, s in enumerate(batch):
+        if err[i] or end_bit[i] < 0:
+            s.failed = True
+            continue
+        s.push(out[i, :int(out_len[i])].tobytes())
+        s.bits.pos = int(end_bit[i])
+        if s.final_block:
+            s.done = True

@@ -487,18 +487,39 @@ def pack_blocks(data: jnp.ndarray, sel: jnp.ndarray, take: jnp.ndarray,
 
 
 def encode_blocks(data, lengths, depth: int, kwords: int,
-                  allow_dynamic: bool, m_words: int):
+                  allow_dynamic: bool, m_words: int, mesh=None):
     """One-call convenience: K1 -> host Huffman build -> K2.
 
     data: uint8[B, N+8]; lengths: int32[B].
     Returns (words uint32[B, m_words], bits int32[B], mode int32[B]) as
     numpy arrays.  Blocks with mode==MODE_STORED must be emitted by the
     caller (host stored-block framing).
+
+    With ``mesh`` set, both device dispatches run block-data-parallel over
+    the mesh's "block" axis (B must divide by the mesh size) — the TPU
+    analog of the reference's request-level chunk parallelism sharded over
+    instances/devices (src/qatzip.c:1505-1594, README.md:65-66).
     """
     from qatzip_tpu.native import qzcore as native
 
-    data = jnp.asarray(data)
-    lengths = jnp.asarray(lengths)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mat = NamedSharding(mesh, P("block", None))
+        row = NamedSharding(mesh, P("block"))
+
+        def put_mat(a):
+            return jax.device_put(jnp.asarray(a), mat)
+
+        def put_row(a):
+            return jax.device_put(jnp.asarray(a), row)
+    else:
+        put_mat = jnp.asarray
+        put_row = jnp.asarray
+
+    data = put_mat(data)
+    lengths = put_row(lengths)
     sel, take, mlen, mdist, freq_ll, freq_d = analyze_blocks(
         data, lengths, depth, kwords)
     mode, ll_len, ll_code, d_len, d_code, hv, hn, _est = \
@@ -507,7 +528,10 @@ def encode_blocks(data, lengths, depth: int, kwords: int,
                                 32 * m_words, HDR_MAX)
     words, bits = pack_blocks(
         data, sel, take, mlen, mdist,
-        jnp.asarray(hv.astype(np.uint32)), jnp.asarray(hn),
-        jnp.asarray(ll_len), jnp.asarray(ll_code),
-        jnp.asarray(d_len), jnp.asarray(d_code), m_words)
-    return np.asarray(words), np.asarray(bits), mode
+        put_mat(hv.astype(np.uint32)), put_mat(hn),
+        put_mat(ll_len), put_mat(ll_code),
+        put_mat(d_len), put_mat(d_code), m_words)
+    # device arrays returned un-fetched: callers overlap the D2H transfer
+    # with the next batch's dispatch (JAX async dispatch = the submit/poll
+    # pipeline of the reference, src/qatzip.c:1483-1764)
+    return words, bits, mode

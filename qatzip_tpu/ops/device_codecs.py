@@ -46,7 +46,6 @@ class DeflateDeviceCodec:
 
     def compress_chunks(self, chunks: Sequence[bytes],
                         params: InternalParams) -> list[CompressedChunk]:
-        import jax.numpy as jnp
         from qatzip_tpu.ops import deflate_encode as de
 
         n = params.hw_buff_sz
@@ -54,11 +53,28 @@ class DeflateDeviceCodec:
         allow_dynamic = params.huffman_hdr == QzHuffmanHdr.QZ_DYNAMIC_HDR
         m_words = de.words_bound(n)
 
-        out: list[CompressedChunk] = []
-        for start in range(0, len(chunks), self.MAX_BATCH):
-            batch = chunks[start:start + self.MAX_BATCH]
-            # two batch shapes only (1 and MAX_BATCH) to bound compile count
-            b = 1 if len(batch) == 1 else self.MAX_BATCH
+        # Block-DP over the local mesh: a request with enough chunks shards
+        # the batch axis over every local device (the reference's instance
+        # pool round-robin, src/qatzip.c:363-400, as one SPMD dispatch).
+        from qatzip_tpu.parallel.shard import local_mesh
+
+        mesh = local_mesh()
+        ndev = mesh.devices.size if mesh is not None else 1
+        bsz = self.MAX_BATCH
+        if mesh is not None and len(chunks) >= 2 * ndev:
+            bsz = max(ndev, (min(len(chunks), self.MAX_BATCH * ndev)
+                             // ndev) * ndev)
+        else:
+            mesh = None
+
+        # Pipelined dispatch (the doCompressIn/doCompressOut overlap,
+        # reference src/qatzip.c:1483-1764): JAX async dispatch lets batch
+        # k+1 upload/compute while batch k's results transfer back — submit
+        # everything, then collect in order.
+        pending: list[tuple[list[bytes], object, object, object]] = []
+        for start in range(0, len(chunks), bsz):
+            batch = list(chunks[start:start + bsz])
+            b = 1 if len(batch) == 1 else bsz
             data = np.zeros((b, n + 8), np.uint8)
             lens = np.zeros((b,), np.int32)
             for i, c in enumerate(batch):
@@ -67,8 +83,14 @@ class DeflateDeviceCodec:
                 data[i, :len(c)] = np.frombuffer(c, np.uint8)
                 lens[i] = len(c)
             words, bits, mode = de.encode_blocks(
-                jnp.asarray(data), jnp.asarray(lens), depth, kwords,
-                allow_dynamic, m_words)
+                data, lens, depth, kwords, allow_dynamic, m_words,
+                mesh=mesh if b >= ndev and mesh is not None else None)
+            pending.append((batch, words, bits, mode))
+
+        out: list[CompressedChunk] = []
+        for batch, words, bits, mode in pending:
+            words = np.asarray(words)
+            bits = np.asarray(bits)
             for i, c in enumerate(batch):
                 if mode[i] == de.MODE_STORED:
                     payload = _stored_block(c)
@@ -79,8 +101,34 @@ class DeflateDeviceCodec:
                 out.append(CompressedChunk(payload, checksum, len(c)))
         return out
 
+    MAX_DECODE_BATCH = 8
+
     def decompress_chunks(self, payloads, hints, params):
-        raise NotImplementedError("TPU deflate decode pending; CPU path used")
+        """Device inflate with per-chunk CPU failover (the reference's
+        decompOutSWFallback behavior, src/qatzip_sw.c:792-846): chunks the
+        kernel flags as unprovable are re-inflated with zlib instead of
+        failing the whole batch."""
+        from qatzip_tpu.ops import deflate_decode as dd
+
+        out: list[DecompressedChunk] = []
+        for start in range(0, len(payloads), self.MAX_DECODE_BATCH):
+            batch = payloads[start:start + self.MAX_DECODE_BATCH]
+            bh = hints[start:start + self.MAX_DECODE_BATCH]
+            results = dd.inflate_batch(batch, bh)
+            for payload, hint, r in zip(batch, bh, results):
+                if r is None:
+                    data, eof = _cpu_inflate(bytes(payload), hint)
+                else:
+                    data, eof = r
+                out.append(DecompressedChunk(
+                    data, _chunk_checksum(data, params), eof))
+        return out
+
+
+def _cpu_inflate(payload: bytes, hint: int) -> tuple[bytes, bool]:
+    do = zlib.decompressobj(-15)
+    data = do.decompress(payload) + do.flush()
+    return data, do.eof
 
 
 def _chunk_checksum(chunk: bytes, params: InternalParams) -> int:
@@ -108,3 +156,4 @@ def register_all() -> None:
                 DataFormatInternal.DEFLATE_RAW,
                 DataFormatInternal.DEFLATE_ZLIB):
         registry.register(fmt, "compress", deflate)
+        registry.register(fmt, "decompress", deflate)

@@ -30,6 +30,23 @@ def make_mesh(n_devices: int | None = None, axis: str = "block"):
     return Mesh(np.array(devs[:n_devices]), axis_names=(axis,))
 
 
+_MESH_UNSET = object()
+_MESH = _MESH_UNSET
+
+
+def local_mesh():
+    """One cached 1-D block-DP mesh over all local devices (None when the
+    host has a single device — sharding has nothing to win there)."""
+    global _MESH
+    if _MESH is _MESH_UNSET:
+        try:
+            m = make_mesh()
+            _MESH = m if m.devices.size > 1 else None
+        except Exception:
+            _MESH = None
+    return _MESH
+
+
 def compress_blocks_sharded(mesh, data_pad: np.ndarray, lengths: np.ndarray,
                             depth: int = 1, kwords: int = 16,
                             allow_dynamic: bool = True,
@@ -42,37 +59,13 @@ def compress_blocks_sharded(mesh, data_pad: np.ndarray, lengths: np.ndarray,
     histograms (a few KB).  Returns (words [B, m_words] sharded, bits [B],
     mode [B] numpy); conversion to host bytes walks blocks in order.
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from qatzip_tpu.native import qzcore as native
     from qatzip_tpu.ops import deflate_encode as de
 
     n = data_pad.shape[1] - 8
     if m_words is None:
         m_words = de.words_bound(n)
-
-    row = NamedSharding(mesh, P("block"))
-    mat = NamedSharding(mesh, P("block", None))
-    data = jax.device_put(jnp.asarray(data_pad), mat)
-    lens = jax.device_put(jnp.asarray(lengths), row)
-
-    sel, take, mlen, mdist, freq_ll, freq_d = de.analyze_blocks(
-        data, lens, depth, kwords)
-    mode, ll_len, ll_code, d_len, d_code, hv, hn, _est = \
-        native.huff_build_batch(np.asarray(freq_ll), np.asarray(freq_d),
-                                np.asarray(lengths), allow_dynamic,
-                                32 * m_words, de.HDR_MAX)
-
-    def put(a):
-        return jax.device_put(jnp.asarray(a), mat)
-
-    words, bits = de.pack_blocks(data, sel, take, mlen, mdist,
-                                 put(hv.astype(np.uint32)), put(hn),
-                                 put(ll_len), put(ll_code),
-                                 put(d_len), put(d_code), m_words)
-    return words, bits, mode
+    return de.encode_blocks(data_pad, lengths, depth, kwords, allow_dynamic,
+                            m_words, mesh=mesh)
 
 
 def scaling_report(mesh, block_bytes: int = 65536, blocks_per_device: int = 8,

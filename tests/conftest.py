@@ -33,6 +33,12 @@ if not _REAL_TPU:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# deterministic device-routing policy: ignore any calibration record on the
+# machine; tests that exercise the device path opt in via QATZIP_TPU_DEVICE
+os.environ.setdefault("QATZIP_TPU_DEVCAL_PATH",
+                      os.path.join(os.path.dirname(__file__),
+                                   ".no-devcal.json"))
+
 # persistent compilation cache makes repeated test runs cheap
 try:
     import jax

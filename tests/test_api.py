@@ -111,10 +111,11 @@ def test_compression_size_not_worse_than_reference_sw(corpus_factory):
     assert len(comp) <= ref_payload + chunks * 32 + 1024
 
 
-def test_device_path_ratio_tracking(corpus_factory):
+def test_device_path_ratio_tracking(corpus_factory, monkeypatch):
     """Device-encoder ratio budget vs zlib L1: must stay within 10% and
     should tighten to parity as the kernel gains lazy matching + longer
     match windows (BASELINE.md: size <= reference SW path)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
     data = corpus_factory(256 * 1024)
     comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
                        level=1)
@@ -122,6 +123,22 @@ def test_device_path_ratio_tracking(corpus_factory):
     co = zlib.compressobj(1, zlib.DEFLATED, -15)
     ref_payload = len(co.compress(data) + co.flush())
     assert len(comp) <= int(ref_payload * 1.10) + 2048
+
+
+def test_default_routing_protected_without_calibration(corpus_factory,
+                                                       monkeypatch):
+    """Regression for the round-1 landmine: with default params (LSM off)
+    and no measured device calibration, the public API must stay on the SW
+    path — a badly-attached device must never hang a default compress
+    (engine/devcal.py policy)."""
+    monkeypatch.delenv("QATZIP_TPU_DEVICE", raising=False)
+    from qatzip_tpu.engine import core as engine_core
+
+    data = corpus_factory(128 * 1024)
+    before_hw = engine_core._engine.hw_requests
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT)
+    assert qz.decompress(comp, "deflate") == data
+    assert engine_core._engine.hw_requests == before_hw
 
 
 def test_session_crc_reporting(corpus_factory):

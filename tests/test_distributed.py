@@ -57,3 +57,45 @@ def test_scaling_report_runs(mesh8):
     rep = scaling_report(mesh8, block_bytes=1024, blocks_per_device=2, reps=2)
     assert rep["devices"] == 8
     assert rep["mesh_Bps"] > 0 and rep["single_device_Bps"] > 0
+
+
+def test_sharded_offsets_collective(mesh8):
+    """Per-block compressed lengths all-gather over the mesh inside jit;
+    offsets come back as the exclusive prefix sum in block order (the
+    seq-reassembly invariant, reference src/qatzip.c:1641-1649)."""
+    from qatzip_tpu.parallel.dist import sharded_offsets
+
+    lengths = np.array([100, 7, 0, 31, 8, 255, 1, 64], np.int32)
+    off = np.asarray(sharded_offsets(mesh8, lengths))
+    expect = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    assert (off == expect).all()
+
+
+def test_init_distributed_noop_single_process(monkeypatch):
+    """Without a coordinator configured, init is a safe no-op."""
+    from qatzip_tpu.parallel import dist
+
+    for var in ("QATZIP_TPU_COORDINATOR", "JAX_COORDINATOR_ADDRESS",
+                "QATZIP_TPU_NUM_PROCESSES", "JAX_NUM_PROCESSES"):
+        monkeypatch.delenv(var, raising=False)
+    assert dist.init_distributed() is False
+
+
+def test_host_block_range_partition():
+    from qatzip_tpu.parallel.dist import host_block_range
+
+    start, end = host_block_range(100)
+    assert start == 0 and end == 100  # single-process: owns everything
+
+
+def test_public_api_sharded_roundtrip(monkeypatch, corpus_factory):
+    """Engine-level block-DP: a many-chunk request through the public API
+    shards the batch axis over the local mesh (VERDICT #4 wiring)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    import qatzip_tpu as qz
+    from qatzip_tpu.constants import QzDataFormat
+
+    data = corpus_factory(96 * 1024)
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                       level=1, hw_buff_sz=4096)
+    assert qz.decompress(comp, "deflate", hw_buff_sz=4096) == data
