@@ -21,6 +21,7 @@ import xxhash
 from qatzip_tpu import constants as C
 from qatzip_tpu.constants import DataFormatInternal, QzDirection
 from qatzip_tpu.engine import devcal, framing
+from qatzip_tpu.engine.health import health
 from qatzip_tpu.engine.backend import Backend, CompressedChunk
 from qatzip_tpu.engine.cpu_backend import CpuBackend
 from qatzip_tpu.formats import gzip_fmt, lz4_fmt, zlib_fmt
@@ -103,6 +104,9 @@ def qz_init_engine(sw_backup: int = C.QZ_SW_BACKUP_DEFAULT) -> int:
         _engine.initialized = True
         if present:
             _engine.init_status = C.QZ_OK
+            # active device heartbeat (opt-in via QATZIP_TPU_HEARTBEAT_S;
+            # the reference's PollingHeartBeat thread, src/qatzip.c:267-280)
+            health.start_heartbeat()
         elif C.qz_sw_backup_enabled(sw_backup) or C.qz_sw_only(sw_backup):
             _engine.init_status = C.QZ_NO_HW
         else:
@@ -151,6 +155,11 @@ def choose_backend(sess: QzSession, src_len: int,
     if C.qz_sw_only(p.sw_backup) or sess.force_sw:
         return _engine.cpu_backend, True
     if not _engine.hw_present or not _hw_supports(p, direction):
+        return _engine.cpu_backend, True
+    # heartbeat/breaker: a device with recent consecutive failures is
+    # skipped like a dead instance (qzGrabInstance skip, reference
+    # src/qatzip.c:389-391; heartbeat check :1514-1522)
+    if not health.healthy():
         return _engine.cpu_backend, True
     if (direction == QzDirection.QZ_DIR_COMPRESS
             and src_len < p.input_sz_thrshold):

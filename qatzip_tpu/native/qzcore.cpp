@@ -355,4 +355,62 @@ uint32_t qz_crc32_combine(uint32_t crc1, uint32_t crc2, int64_t len2) {
     return gf2_times(cached_op, crc1) ^ crc2;
 }
 
+// Assemble an LZ4/LZ4s block from the device match-finder's per-position
+// records: rec[p] = (match_len << 15) | dist, nonzero only where the
+// device's greedy parse selected a match start.  The host walk replays the
+// parse chain (pos += match_len or 1) and emits the byte stream — the
+// device does the expensive search, the host only shuffles bytes (the
+// split mirrors the deflate pipeline's host Huffman-build stage).
+// mode 0 = LZ4, 1 = LZ4s (terminal literal-only sequence).
+int64_t qz_lz4_assemble(const uint8_t* src, int64_t n, const int32_t* rec,
+                        uint8_t* dst, int64_t cap, int mode,
+                        int mini_match) {
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    const int token_base = (mode == 0) ? MINMATCH : (mini_match - 1);
+    const int min_match = (mode == 0) ? MINMATCH : mini_match;
+    if (n == 0) return 0;
+
+    auto emit = [&](const uint8_t* lit, size_t lit_len, uint32_t offset,
+                    size_t match_len) -> bool {
+        size_t ml_code = match_len == 0 ? 0 : match_len - token_base;
+        uint8_t tok_lit = lit_len >= 15 ? 15 : (uint8_t)lit_len;
+        uint8_t tok_ml = ml_code >= 15 ? 15 : (uint8_t)ml_code;
+        size_t need = 1 + lit_len + 16 + (match_len ? 2 : 0);
+        if (op + need > oend) return false;
+        if (match_len == 0) {
+            *op++ = (uint8_t)(tok_lit << 4);
+            if (lit_len >= 15) op = write_length(op, lit_len - 15);
+            std::memcpy(op, lit, lit_len);
+            op += lit_len;
+            return true;
+        }
+        *op++ = (uint8_t)((tok_lit << 4) | tok_ml);
+        if (lit_len >= 15) op = write_length(op, lit_len - 15);
+        std::memcpy(op, lit, lit_len);
+        op += lit_len;
+        *op++ = (uint8_t)(offset & 0xFF);
+        *op++ = (uint8_t)(offset >> 8);
+        if (ml_code >= 15) op = write_length(op, ml_code - 15);
+        return true;
+    };
+
+    int64_t anchor = 0, pos = 0;
+    while (pos < n) {
+        int32_t r = rec[pos];
+        int32_t ml = r >> 15;
+        if (ml >= min_match && pos + ml <= n) {
+            if (!emit(src + anchor, (size_t)(pos - anchor),
+                      (uint32_t)(r & 0x7FFF), (size_t)ml))
+                return -1;
+            pos += ml;
+            anchor = pos;
+        } else {
+            pos++;
+        }
+    }
+    if (!emit(src + anchor, (size_t)(n - anchor), 0, 0)) return -1;
+    return op - dst;
+}
+
 }  // extern "C"

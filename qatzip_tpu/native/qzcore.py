@@ -61,6 +61,10 @@ _lib.qz_batch_inflate.argtypes = [
     ctypes.c_char_p, _I64P, _I64P, _I64P, _I64P, _I64P,
     ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+_lib.qz_lz4_assemble.restype = ctypes.c_int64
+_lib.qz_lz4_assemble.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                 ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int64, ctypes.c_int, ctypes.c_int]
 _lib.qz_huff_build_batch.restype = ctypes.c_int
 _lib.qz_huff_build_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -73,6 +77,23 @@ _lib.qz_huff_build_batch.argtypes = [
 BATCH_FMT = {"4B": 0, "gzip": 1, "gzipext": 2, "raw": 3, "zlib": 4}
 _BATCH_HDR = {0: 4, 1: 10, 2: 24, 3: 0, 4: 2}
 _BATCH_FTR = {0: 0, 1: 8, 2: 8, 3: 0, 4: 4}
+
+
+def lz4_assemble(data: bytes, rec, mode: int = 0,
+                 mini_match: int = 3) -> bytes:
+    """Emit an LZ4 (mode 0) / LZ4s (mode 1) block from the device
+    match-finder's per-position (mlen<<15|dist) records."""
+    import numpy as np
+
+    rec = np.ascontiguousarray(rec, np.int32)
+    cap = len(data) + len(data) // 255 + 64
+    out = ctypes.create_string_buffer(cap)
+    n = _lib.qz_lz4_assemble(data, len(data),
+                             rec.ctypes.data_as(ctypes.c_void_p), out, cap,
+                             mode, mini_match)
+    if n < 0:
+        raise ValueError("lz4 assembly failed")
+    return out.raw[:n]
 
 
 def lz4_compress_block(data: bytes) -> bytes:

@@ -404,9 +404,10 @@ def _decode_kernel(nbits: int, outcap: int):
 
 class _Stream:
     __slots__ = ("payload", "hint", "bits", "out", "window", "done", "failed",
-                 "final_block", "index", "_tables")
+                 "final_block", "index", "_tables", "kind", "crc", "crc_len")
 
-    def __init__(self, payload: bytes, hint: int, index: int):
+    def __init__(self, payload: bytes, hint: int, index: int,
+                 kind: str = "crc32"):
         self.payload = payload
         self.hint = hint
         self.bits = _Bits(payload)
@@ -416,8 +417,29 @@ class _Stream:
         self.failed = False
         self.final_block = False
         self.index = index
+        self.kind = kind
+        self.crc: int | None = None  # running checksum of self.out
+        self.crc_len = 0
 
-    def push(self, data: bytes) -> None:
+    def push(self, data: bytes, part_crc: int | None = None) -> None:
+        """Append decoded bytes; fold ``part_crc`` (device-computed checksum
+        of this part) into the running stream checksum.  Host computes the
+        part only for host-handled stored blocks."""
+        import zlib as _z
+
+        from qatzip_tpu.utils import checksum as _ck
+
+        if self.kind:
+            if part_crc is None:
+                part_crc = (_z.adler32(data) if self.kind == "adler32"
+                            else _z.crc32(data)) & 0xFFFFFFFF
+            if self.crc is None or self.crc_len == 0:
+                self.crc = part_crc
+            elif self.kind == "adler32":
+                self.crc = _ck.adler32_combine(self.crc, part_crc, len(data))
+            else:
+                self.crc = _ck.crc32_combine(self.crc, part_crc, len(data))
+            self.crc_len += len(data)
         self.out += data
         w = self.window + data
         self.window = w[-32768:] if len(w) > 32768 else w
@@ -430,16 +452,21 @@ def _next_pow2(x: int, lo: int) -> int:
     return p
 
 
-def inflate_batch(payloads, hints, max_rounds: int = 64):
+def inflate_batch(payloads, hints, max_rounds: int = 64,
+                  kind: str | None = None):
     """Inflate complete raw-deflate streams on device.
 
-    Returns a list of (data: bytes, end_of_stream: bool) entries, or None
-    for streams that must fall back to the CPU path (unsupported size,
-    malformed-but-recoverable-by-zlib constructs, kernel error flags).
+    Returns a list of (data: bytes, end_of_stream: bool, checksum) entries
+    (checksum per ``kind`` — "crc32"/"adler32" — computed by the device
+    kernels, or None when kind is unset), or None for streams that must
+    fall back to the CPU path (unsupported size, malformed-but-
+    recoverable-by-zlib constructs, kernel error flags).
     """
+    if kind == "xxh32":
+        kind = None  # not device-combinable; caller computes on host
     streams = []
     for i, (pl, hint) in enumerate(zip(payloads, hints)):
-        s = _Stream(bytes(pl), int(hint), i)
+        s = _Stream(bytes(pl), int(hint), i, kind=kind or "")
         if len(s.payload) == 0 or len(s.payload) > MAX_PAYLOAD:
             s.failed = True
         if hint is not None and hint > MAX_OUTCAP:
@@ -470,7 +497,10 @@ def inflate_batch(payloads, hints, max_rounds: int = 64):
         if s.failed or not s.done:
             results.append(None)
         else:
-            results.append((bytes(s.out), True))
+            crc = s.crc if s.kind else None
+            if s.kind and s.crc_len == 0:  # empty stream
+                crc = 1 if s.kind == "adler32" else 0
+            results.append((bytes(s.out), True, crc))
     return results
 
 
@@ -527,7 +557,9 @@ def _run_device_round(batch) -> None:
     outcap = min(outcap, MAX_OUTCAP)
 
     # block-DP decode: pad the batch to the local mesh size and shard the
-    # batch axis (padding rows decode garbage and are dropped)
+    # batch axis (padding rows decode garbage and are dropped).  Batch
+    # shape is pinned to {1, 8, k*ndev} so kernel compiles stay bounded
+    # (the reference's two NUM_BUFF shapes, internal.h:65-70).
     from qatzip_tpu.parallel.shard import local_mesh
 
     mesh = local_mesh()
@@ -537,6 +569,8 @@ def _run_device_round(batch) -> None:
         B = ((B + ndev - 1) // ndev) * ndev
     elif B == 1:
         mesh = None
+    else:
+        B = 8
     pbytes = max(len(s.payload) for s in batch)
     PB = ((pbytes + 4 + 127) // 128) * 128 + 128
     pay = np.zeros((B, PB), np.uint8)
@@ -570,6 +604,17 @@ def _run_device_round(batch) -> None:
     fn = _decode_kernel(nbits, outcap)
     out, out_len, end_bit, err = fn(
         up(pay), up(bit0), up(tll), up(td), up(window), up(wlen))
+    # checksum fused on the device output before it ever reaches the host
+    # (reference HW returns the checksum with the chunk, qatzip.c:1699)
+    kinds = {s.kind for s in batch if s.kind}
+    cks = {}
+    if kinds:
+        from qatzip_tpu.ops import checksums as cksum
+
+        for k in kinds:
+            f = (cksum.adler32_blocks if k == "adler32"
+                 else cksum.crc32_blocks)
+            cks[k] = np.asarray(f(out, out_len, outcap))
     out = np.asarray(out)
     out_len = np.asarray(out_len)
     end_bit = np.asarray(end_bit)
@@ -579,7 +624,8 @@ def _run_device_round(batch) -> None:
         if err[i] or end_bit[i] < 0:
             s.failed = True
             continue
-        s.push(out[i, :int(out_len[i])].tobytes())
+        part_crc = int(cks[s.kind][i]) if s.kind else None
+        s.push(out[i, :int(out_len[i])].tobytes(), part_crc)
         s.bits.pos = int(end_bit[i])
         if s.final_block:
             s.done = True

@@ -133,14 +133,20 @@ def _pos_bits(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "kwords"))
+@functools.partial(jax.jit, static_argnames=("depth", "kwords", "lz4_rules"))
 def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
-                   kwords: int):
+                   kwords: int, lz4_rules: bool = False):
     """K1: LZ77 + greedy parse + histograms for a batch of blocks.
 
     data: uint8[B, N+8] zero-padded; lengths: int32[B]; N <= 128K,
     N % SEG == 0.  Returns (sel bool[B,N], take bool[B,N], mlen int32[B,N],
     mdist int32[B,N], freq_ll int32[B,286], freq_d int32[B,30]).
+
+    With ``lz4_rules`` the parse obeys the LZ4 block contract instead of
+    deflate's (reference src/qatzip_utils.c:264-341 maps both onto the same
+    HW search): min match 4 (no len-3 matches), and the end-of-block
+    restrictions — the last 5 bytes are literals and no match begins within
+    the final 12 bytes (lz4 frame format spec; reference README.md:164).
     """
     B = data.shape[0]
     n = data.shape[1] - 8
@@ -258,11 +264,17 @@ def analyze_blocks(data: jnp.ndarray, lengths: jnp.ndarray, depth: int,
     mlen = jnp.where(use_rle, mlen_rle, mlen_h)
     mdist = jnp.where(use_rle, 1, dist_p)
     take = (mlen >= 4) & (mdist >= 1)
-    # deflate's min match is 3: use near len-3 matches where nothing longer
-    m3 = has3 & ~take
-    mlen = jnp.where(m3, 3, mlen)
-    mdist = jnp.where(m3, dist3_p, mdist)
-    take = take | m3
+    if not lz4_rules:
+        # deflate's min match is 3: use near len-3 matches where nothing
+        # longer is available
+        m3 = has3 & ~take
+        mlen = jnp.where(m3, 3, mlen)
+        mdist = jnp.where(m3, dist3_p, mdist)
+        take = take | m3
+    else:
+        # LZ4 end-of-block: last 5 bytes literal, no match start in the
+        # final 12 bytes; matches may not extend into the last 5 bytes
+        take = take & (pos <= L - 13) & (pos + mlen <= L - 5)
     if depth >= 6:
         # one-step lazy matching (zlib levels >= 4): prefer the longer
         # match starting one byte later

@@ -15,6 +15,7 @@ import numpy as np
 
 from qatzip_tpu.constants import DataFormatInternal, QzHuffmanHdr
 from qatzip_tpu.engine.backend import CompressedChunk, DecompressedChunk
+from qatzip_tpu.engine.health import health
 from qatzip_tpu.session import InternalParams
 
 
@@ -71,34 +72,61 @@ class DeflateDeviceCodec:
         # reference src/qatzip.c:1483-1764): JAX async dispatch lets batch
         # k+1 upload/compute while batch k's results transfer back — submit
         # everything, then collect in order.
-        pending: list[tuple[list[bytes], object, object, object]] = []
+        import jax.numpy as jnp
+        from qatzip_tpu.ops import checksums as cksum
+
+        kind = _checksum_kind(params)
+        pending: list[tuple] = []
         for start in range(0, len(chunks), bsz):
             batch = list(chunks[start:start + bsz])
-            b = 1 if len(batch) == 1 else bsz
-            data = np.zeros((b, n + 8), np.uint8)
-            lens = np.zeros((b,), np.int32)
-            for i, c in enumerate(batch):
-                if len(c) > n:
-                    raise ValueError("chunk exceeds hw_buff_sz")
-                data[i, :len(c)] = np.frombuffer(c, np.uint8)
-                lens[i] = len(c)
-            words, bits, mode = de.encode_blocks(
-                data, lens, depth, kwords, allow_dynamic, m_words,
-                mesh=mesh if b >= ndev and mesh is not None else None)
-            pending.append((batch, words, bits, mode))
+            try:
+                b = 1 if len(batch) == 1 else bsz
+                data = np.zeros((b, n + 8), np.uint8)
+                lens = np.zeros((b,), np.int32)
+                for i, c in enumerate(batch):
+                    if len(c) > n:
+                        raise ValueError("chunk exceeds hw_buff_sz")
+                    data[i, :len(c)] = np.frombuffer(c, np.uint8)
+                    lens[i] = len(c)
+                dj = jnp.asarray(data)  # one upload for encode + checksum
+                lj = jnp.asarray(lens)
+                words, bits, mode = de.encode_blocks(
+                    dj, lj, depth, kwords, allow_dynamic, m_words,
+                    mesh=mesh if b >= ndev and mesh is not None else None)
+                # checksum fused on device from the same uploaded buffer
+                # (the reference HW returns the chunk checksum with each
+                # request, src/qatzip.c:1699-1718)
+                cks = (cksum.adler32_blocks(dj, lj, n) if kind == "adler32"
+                       else cksum.crc32_blocks(dj, lj, n))
+                pending.append((batch, words, bits, mode, cks))
+            except Exception:
+                # mid-request per-batch reroute (compInSWFallback analog,
+                # reference src/qatzip_sw.c:697-748): only this batch goes
+                # to the CPU; the rest of the request stays on device
+                health.record_failure()
+                pending.append((batch, None, None, None, None))
 
         out: list[CompressedChunk] = []
-        for batch, words, bits, mode in pending:
-            words = np.asarray(words)
-            bits = np.asarray(bits)
+        for batch, words, bits, mode, cks in pending:
+            if words is None:
+                out.extend(_cpu_compress_batch(batch, params))
+                continue
+            try:
+                words = np.asarray(words)
+                bits = np.asarray(bits)
+                cks = np.asarray(cks)
+            except Exception:
+                health.record_failure()
+                out.extend(_cpu_compress_batch(batch, params))
+                continue
+            health.record_success()
             for i, c in enumerate(batch):
                 if mode[i] == de.MODE_STORED:
                     payload = _stored_block(c)
                 else:
                     nbytes = (int(bits[i]) + 7) // 8
                     payload = words[i].tobytes()[:nbytes]
-                checksum = _chunk_checksum(c, params)
-                out.append(CompressedChunk(payload, checksum, len(c)))
+                out.append(CompressedChunk(payload, int(cks[i]), len(c)))
         return out
 
     MAX_DECODE_BATCH = 8
@@ -107,22 +135,112 @@ class DeflateDeviceCodec:
         """Device inflate with per-chunk CPU failover (the reference's
         decompOutSWFallback behavior, src/qatzip_sw.c:792-846): chunks the
         kernel flags as unprovable are re-inflated with zlib instead of
-        failing the whole batch."""
+        failing the whole batch.  Checksums of device-decoded chunks come
+        from the device kernels (no host re-scan)."""
         from qatzip_tpu.ops import deflate_decode as dd
 
+        kind = _checksum_kind(params)
         out: list[DecompressedChunk] = []
         for start in range(0, len(payloads), self.MAX_DECODE_BATCH):
             batch = payloads[start:start + self.MAX_DECODE_BATCH]
             bh = hints[start:start + self.MAX_DECODE_BATCH]
-            results = dd.inflate_batch(batch, bh)
+            try:
+                results = dd.inflate_batch(batch, bh, kind=kind)
+                health.record_success()
+            except Exception:
+                # device dispatch failure: per-batch reroute to the CPU
+                # (decompInSWFallback analog, src/qatzip_sw.c:792-846)
+                health.record_failure()
+                results = [None] * len(batch)
             for payload, hint, r in zip(batch, bh, results):
                 if r is None:
                     data, eof = _cpu_inflate(bytes(payload), hint)
+                    ckv = _chunk_checksum(data, params)
                 else:
-                    data, eof = r
-                out.append(DecompressedChunk(
-                    data, _chunk_checksum(data, params), eof))
+                    data, eof, ckv = r
+                    if ckv is None:
+                        ckv = _chunk_checksum(data, params)
+                out.append(DecompressedChunk(data, ckv, eof))
         return out
+
+
+class Lz4DeviceCodec:
+    """LZ4/LZ4s block compressor: device match-finder (the same LZ77
+    sort-based kernel as deflate, with LZ4 parse rules) + native host byte
+    assembly.  The reference maps LZ4/LZ4S onto the same HW search engine
+    (src/qatzip_utils.c:264-341); here both ride the same K1 kernel."""
+
+    MAX_BATCH = 32
+
+    def compress_chunks(self, chunks: Sequence[bytes],
+                        params: InternalParams) -> list[CompressedChunk]:
+        import jax.numpy as jnp
+
+        from qatzip_tpu.formats.lz4_fmt import gen_lz4_block_header
+        from qatzip_tpu.native import qzcore as native
+        from qatzip_tpu.ops import deflate_encode as de
+
+        n = params.hw_buff_sz
+        depth, kwords = de.level_params(params.comp_lvl)
+        is_lz4s = params.data_fmt == DataFormatInternal.LZ4S_BK
+        mode = 1 if is_lz4s else 0
+        mini = params.lz4s_mini_match if is_lz4s else 4
+
+        pending: list[tuple] = []
+        for start in range(0, len(chunks), self.MAX_BATCH):
+            batch = list(chunks[start:start + self.MAX_BATCH])
+            try:
+                b = 1 if len(batch) == 1 else self.MAX_BATCH
+                data = np.zeros((b, n + 8), np.uint8)
+                lens = np.zeros((b,), np.int32)
+                for i, c in enumerate(batch):
+                    if len(c) > n:
+                        raise ValueError("chunk exceeds hw_buff_sz")
+                    data[i, :len(c)] = np.frombuffer(c, np.uint8)
+                    lens[i] = len(c)
+                rec = _lz4_analyze(jnp.asarray(data), jnp.asarray(lens),
+                                   depth, kwords)
+                pending.append((batch, rec))
+            except Exception:
+                health.record_failure()
+                pending.append((batch, None))
+
+        out: list[CompressedChunk] = []
+        for batch, rec in pending:
+            if rec is None:
+                out.extend(_cpu_compress_batch(batch, params))
+                continue
+            try:
+                rec = np.asarray(rec)
+            except Exception:
+                health.record_failure()
+                out.extend(_cpu_compress_batch(batch, params))
+                continue
+            health.record_success()
+            for i, c in enumerate(batch):
+                payload = native.lz4_assemble(c, rec[i, :len(c)], mode, mini)
+                ckv = _chunk_checksum(c, params)
+                if is_lz4s:
+                    out.append(CompressedChunk(payload, ckv, len(c)))
+                    continue
+                # LZ4 frame block section with the stored-block escape
+                if len(payload) >= len(c):
+                    blk = gen_lz4_block_header(len(c), stored=True) + c
+                else:
+                    blk = gen_lz4_block_header(len(payload),
+                                               stored=False) + payload
+                out.append(CompressedChunk(blk, ckv, len(c)))
+        return out
+
+
+def _lz4_analyze(data, lengths, depth: int, kwords: int):
+    """Device K1 with LZ4 parse rules; returns packed (mlen<<15|dist)
+    per-position records for the host assembler."""
+    from qatzip_tpu.ops import deflate_encode as de
+
+    sel, take, mlen, mdist, _f1, _f2 = de.analyze_blocks(
+        data, lengths, depth, kwords, lz4_rules=True)
+    return (mlen << 15) | mdist
 
 
 def _cpu_inflate(payload: bytes, hint: int) -> tuple[bytes, bool]:
@@ -131,11 +249,27 @@ def _cpu_inflate(payload: bytes, hint: int) -> tuple[bytes, bool]:
     return data, do.eof
 
 
-def _chunk_checksum(chunk: bytes, params: InternalParams) -> int:
+def _cpu_compress_batch(batch, params) -> list[CompressedChunk]:
+    """CPU fallback for one failed device batch (same wire contract)."""
+    from qatzip_tpu.engine.cpu_backend import CpuBackend
+
+    return CpuBackend().compress_chunks(batch, params)
+
+
+def _checksum_kind(params: InternalParams) -> str:
     fmt = params.data_fmt
     if fmt == DataFormatInternal.DEFLATE_ZLIB:
-        return zlib.adler32(chunk) & 0xFFFFFFFF
+        return "adler32"
     if fmt in (DataFormatInternal.LZ4_FH, DataFormatInternal.LZ4S_BK):
+        return "xxh32"
+    return "crc32"
+
+
+def _chunk_checksum(chunk: bytes, params: InternalParams) -> int:
+    kind = _checksum_kind(params)
+    if kind == "adler32":
+        return zlib.adler32(chunk) & 0xFFFFFFFF
+    if kind == "xxh32":
         import xxhash
         return xxhash.xxh32(chunk, 0).intdigest()
     return zlib.crc32(chunk) & 0xFFFFFFFF
@@ -157,3 +291,6 @@ def register_all() -> None:
                 DataFormatInternal.DEFLATE_ZLIB):
         registry.register(fmt, "compress", deflate)
         registry.register(fmt, "decompress", deflate)
+    lz4 = Lz4DeviceCodec()
+    registry.register(DataFormatInternal.LZ4_FH, "compress", lz4)
+    registry.register(DataFormatInternal.LZ4S_BK, "compress", lz4)

@@ -112,17 +112,21 @@ def test_compression_size_not_worse_than_reference_sw(corpus_factory):
 
 
 def test_device_path_ratio_tracking(corpus_factory, monkeypatch):
-    """Device-encoder ratio budget vs zlib L1: must stay within 10% and
-    should tighten to parity as the kernel gains lazy matching + longer
-    match windows (BASELINE.md: size <= reference SW path)."""
+    """Device-encoder size must not exceed the reference SW path (zlib L1
+    with per-64KB flush) on realistic corpora — the BASELINE.md contract.
+    Known exception (valid output, looser ratio): long-period repetitive
+    data, where match extension caps at 67 bytes; tracked separately."""
     monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
     data = corpus_factory(256 * 1024)
     comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
                        level=1)
     assert qz.decompress(comp, "deflate") == data
-    co = zlib.compressobj(1, zlib.DEFLATED, -15)
-    ref_payload = len(co.compress(data) + co.flush())
-    assert len(comp) <= int(ref_payload * 1.10) + 2048
+    chunks = (len(data) + 65535) // 65536
+    ref_payload = 0
+    for i in range(0, len(data), 65536):
+        co = zlib.compressobj(1, zlib.DEFLATED, -15)
+        ref_payload += len(co.compress(data[i:i + 65536]) + co.flush())
+    assert len(comp) <= ref_payload + chunks * 32 + 64  # framing overhead
 
 
 def test_default_routing_protected_without_calibration(corpus_factory,

@@ -1,0 +1,99 @@
+"""Device-health breaker + mid-request failover tests (the heartbeat /
+per-chunk SW reroute contract, reference src/qatzip.c:267-280, 1514-1522;
+src/qatzip_sw.c:697-846)."""
+import zlib
+
+import pytest
+
+import qatzip_tpu as qz
+from qatzip_tpu.constants import QzDataFormat
+from qatzip_tpu.engine.health import DeviceHealth, FAILURE_TRIP
+
+
+def test_breaker_trips_and_recovers(monkeypatch):
+    h = DeviceHealth()
+    assert h.healthy()
+    for _ in range(FAILURE_TRIP):
+        h.record_failure()
+    assert not h.healthy()  # breaker open
+    # after cooldown exactly one probe is admitted
+    import qatzip_tpu.engine.health as hm
+
+    t = [1000.0]
+    monkeypatch.setattr(hm.time, "monotonic", lambda: t[0])
+    h2 = DeviceHealth()
+    for _ in range(FAILURE_TRIP):
+        h2.record_failure()
+    t[0] += hm.COOLDOWN_S + 1
+    assert h2.healthy()       # the probe
+    assert not h2.healthy()   # second caller still blocked
+    h2.record_success()       # probe succeeded -> breaker closes
+    assert h2.healthy() and h2.healthy()
+
+
+def test_engine_routes_sw_when_breaker_open(monkeypatch, corpus_factory):
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine import core as engine_core
+    from qatzip_tpu.engine.health import health
+
+    data = corpus_factory(100_000)
+    for _ in range(FAILURE_TRIP):
+        health.record_failure()
+    try:
+        before_hw = engine_core._engine.hw_requests
+        comp = qz.compress(data, "deflate",
+                           fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT)
+        assert engine_core._engine.hw_requests == before_hw  # stayed SW
+        assert qz.decompress(comp, "deflate") == data
+    finally:
+        health.record_success()
+
+
+def test_per_batch_compress_failover(monkeypatch, corpus_factory):
+    """A device batch that raises falls back to the CPU for that batch
+    only; output stays valid end-to-end."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine.health import health
+    from qatzip_tpu.ops import deflate_encode as de
+
+    calls = {"n": 0}
+    real = de.encode_blocks
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected device failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(de, "encode_blocks", flaky)
+    data = corpus_factory(200_000, "text")
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                       level=1, hw_buff_sz=4096)
+    assert calls["n"] >= 1
+    assert qz.decompress(comp, "deflate", hw_buff_sz=4096,
+                         sw_only=True) == data
+    import gzip as _gzip
+
+    assert _gzip.decompress(comp) == data
+    health.record_success()
+
+
+def test_device_checksums_flow_through_api(monkeypatch, corpus_factory):
+    """qz_compress_crc on the device path must report the same CRC32 the
+    host would compute (device-fused checksum correctness at the API)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    data = corpus_factory(100_000, "text")
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsDeflate()
+    p.common_params.comp_lvl = 1
+    p.common_params.hw_buff_sz = 16384
+    p.data_fmt = QzDataFormat.QZ_DEFLATE_GZIP_EXT
+    assert qz.qz_setup_session_deflate(sess, p) == qz.QZ_OK
+    res = qz.qz_compress_crc(sess, data)
+    assert res.rc == qz.QZ_OK
+    assert res.crc == (zlib.crc32(data) & 0xFFFFFFFF)
+    sess2 = qz.QzSession()
+    qz.qz_setup_session_deflate(sess2, p)
+    dres = qz.qz_decompress_crc(sess2, res.data)
+    assert dres.rc == qz.QZ_OK and dres.data == data
+    assert dres.crc == (zlib.crc32(data) & 0xFFFFFFFF)
