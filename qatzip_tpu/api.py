@@ -57,7 +57,7 @@ __all__ = [
     "qz_get_defaults_lz4s", "qz_set_defaults_lz4s",
     "qz_get_defaults", "qz_set_defaults",
     "qz_get_defaults_deflate_ext", "qz_set_defaults_deflate_ext",
-    "qz_get_deflate_end_of_stream", "qz_set_log_level",
+    "qz_get_deflate_end_of_stream", "qz_set_log_level", "qz_dump_counters",
     "qz_get_session_crc32_config", "qz_set_session_crc32_config",
     "qz_get_session_crc64_config", "qz_set_session_crc64_config",
     "qz_get_software_component_count", "qz_get_software_component_version_list",
@@ -367,6 +367,19 @@ def qz_get_status(sess: QzSession | None = None) -> QzStatus:
 def qz_get_deflate_end_of_stream(sess: QzSession) -> bool:
     """qzGetDeflateEndOfStream analog (reference src/qatzip.c:2766)."""
     return bool(sess.end_of_last_block)
+
+
+def qz_dump_counters() -> dict:
+    """Debug counter dump: per-stage flow counters + HW/SW request totals
+    (the qatzip_counter.c dumpAllCounters + per-thread counter analog,
+    reference src/qatzip_counter.c:56-82, src/qatzip_utils.c:55-183)."""
+    from qatzip_tpu.engine.flow import flow
+
+    eng = core.engine()
+    out = flow.dump()
+    out["hw_requests"] = eng.hw_requests
+    out["sw_requests"] = eng.sw_requests
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -46,25 +46,49 @@ class _Request:
     callback: Optional[Callable] = None
     external: object = None
     result: QzResult = field(default_factory=QzResult)
+    seq: int = -1
+    error: Optional[BaseException] = None
 
 
 class AsyncCtrl:
     """Per-session async control block (reference qzSetupAsyncCtrl,
-    src/qatzip.c:3977-4011): bounded ring + consumer thread."""
+    src/qatzip.c:3977-4011): bounded ring + executor pool + in-order
+    completer.
+
+    The reference overlaps a consumer thread (submits to the ASIC) with a
+    poller thread (drains completions) and preserves submission order via
+    the seq invariant (src/qatzip.c:1641-1649).  Here N executors run
+    engine requests concurrently (zlib/native codecs release the GIL; the
+    device path is async-dispatched), and a completer fires callbacks and
+    futures strictly in submission order."""
+
+    EXECUTORS = 3
 
     def __init__(self, sess: QzSession):
         self.sess = sess
         self.ring: queue.Queue = queue.Queue(maxsize=ASYNC_RING_DEPTH)
         self.shutdown_evt = threading.Event()
-        self.worker = threading.Thread(target=self._consume, daemon=True,
-                                       name="qzt-async-consumer")
-        self.worker.start()
+        self._seq_submit = 0
+        self._seq_done = 0
+        self._completed: dict[int, _Request] = {}
+        self._cv = threading.Condition()
+        self.workers = []
+        for i in range(self.EXECUTORS):
+            t = threading.Thread(target=self._consume, daemon=True,
+                                 name=f"qzt-async-exec-{i}")
+            t.start()
+            self.workers.append(t)
+        self.completer = threading.Thread(target=self._complete, daemon=True,
+                                          name="qzt-async-completer")
+        self.completer.start()
 
     def submit(self, req: _Request) -> int:
         try:
+            req.seq = self._seq_submit
             self.ring.put_nowait(req)
         except queue.Full:
             return C.QZ_FAIL
+        self._seq_submit += 1
         return C.QZ_OK
 
     def _consume(self) -> None:
@@ -84,11 +108,29 @@ class AsyncCtrl:
                 req.result.ext_rc = res.ext_rc
             except Exception as exc:  # pragma: no cover
                 req.result.rc = C.QZ_FAIL
-                req.result.ext_rc = 0
-                req.future.set_exception(exc)
-                continue
+                req.error = exc
             finally:
                 req.result.done = True
+            with self._cv:
+                self._completed[req.seq] = req
+                self._cv.notify_all()
+
+    def _complete(self) -> None:
+        """Drain completions in submission order (the doCompressOut seq
+        invariant) and fire user callbacks + futures."""
+        while not self.shutdown_evt.is_set():
+            with self._cv:
+                self._cv.wait_for(
+                    lambda: self._seq_done in self._completed
+                    or self.shutdown_evt.is_set(), timeout=0.05)
+                req = self._completed.pop(self._seq_done, None)
+                if req is not None:
+                    self._seq_done += 1
+            if req is None:
+                continue
+            if req.error is not None:
+                req.future.set_exception(req.error)
+                continue
             if req.callback is not None:
                 try:
                     req.callback(req.external, req.src, req.result.consumed,
@@ -100,7 +142,9 @@ class AsyncCtrl:
 
     def shutdown(self) -> None:
         self.shutdown_evt.set()
-        self.worker.join(timeout=2.0)
+        for t in self.workers:
+            t.join(timeout=2.0)
+        self.completer.join(timeout=2.0)
 
 
 def _ensure_ctrl(sess: QzSession) -> AsyncCtrl:

@@ -16,11 +16,11 @@ import threading
 import time
 import zlib
 
-import xxhash
 
 from qatzip_tpu import constants as C
 from qatzip_tpu.constants import DataFormatInternal, QzDirection
 from qatzip_tpu.engine import devcal, framing
+from qatzip_tpu.engine.flow import flow
 from qatzip_tpu.engine.health import health
 from qatzip_tpu.engine.backend import Backend, CompressedChunk
 from qatzip_tpu.engine.cpu_backend import CpuBackend
@@ -255,9 +255,15 @@ def compress_ext(sess: QzSession, src, last: int = 1,
             sess.last_ext_rc = res.ext_rc
             return res
 
+    # flow-counter quad for this request (the race checker; engine/flow.py)
+    rf = flow.request()
+    rf.add("planned", len(chunks))
+
     t0 = time.perf_counter()
     try:
+        rf.add("submitted", len(chunks))
         compressed = backend.compress_chunks(chunks, p)
+        rf.add("completed", len(compressed))
         if not is_sw:
             _engine.hw_requests += len(chunks)
     except Exception as exc:
@@ -266,6 +272,7 @@ def compress_ext(sess: QzSession, src, last: int = 1,
             QZ_WARN("HW compress failed (%s); falling back to SW", exc)
             backend, is_sw = _engine.cpu_backend, True
             compressed = backend.compress_chunks(chunks, p)
+            rf.add("completed", len(compressed))
         else:
             QZ_ERROR("compress failed: %s", exc)
             res.rc = C.QZ_FAIL
@@ -291,12 +298,20 @@ def compress_ext(sess: QzSession, src, last: int = 1,
             if i == 0:
                 res.rc = C.QZ_BUF_ERROR
                 return res
+            rf.add("reassembled", len(compressed) - i)  # truncated by intent
             break
         out += member
         consumed += cc.consumed
+        rf.add("reassembled")
         res.crc = _session_crc_update(kind, res.crc, cc.checksum, cc.consumed,
                                       first)
         first = False
+
+    if not rf.check("compress"):
+        # stage counts disagree: a backend dropped or duplicated a chunk —
+        # fail rather than emit silently corrupt output
+        res.rc = C.QZ_FAIL
+        return res
 
     data = bytes(out)
 
@@ -490,7 +505,7 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                     (payload_off - pos) + used
                 chunk_ck = (ck.crc32(data) if kind == "crc32"
                             else ck.adler32(data) if kind == "adler32"
-                            else xxhash.xxh32(data, 0).intdigest())
+                            else ck.xxh32(data, 0))
                 if fmt in (DataFormatInternal.DEFLATE_GZIP,
                            DataFormatInternal.DEFLATE_GZIP_EXT):
                     fpos = payload_off + used

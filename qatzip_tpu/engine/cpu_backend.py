@@ -13,8 +13,6 @@ import zlib
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Sequence, TypeVar
 
-import xxhash
-
 from qatzip_tpu.constants import DataFormatInternal
 from qatzip_tpu.engine import lz4_block
 from qatzip_tpu.engine.backend import Backend, CompressedChunk, DecompressedChunk
@@ -54,7 +52,8 @@ def _checksum(kind: str, data: bytes) -> int:
     if kind == "adler32":
         return zlib.adler32(data) & 0xFFFFFFFF
     if kind == "xxh32":
-        return xxhash.xxh32(data, 0).intdigest()
+        from qatzip_tpu.utils import checksum as _ck
+        return _ck.xxh32(data, 0)
     raise ValueError(kind)
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import struct
 from typing import NamedTuple
 
-import xxhash
+from qatzip_tpu.utils import checksum as _ck
 
 LZ4_MAGIC = 0x184D2204
 LZ4_MAGIC_SKIPPABLE = 0x184D2A50
@@ -44,7 +44,7 @@ class LZ4FrameHeader(NamedTuple):
 def gen_lz4_frame_header(content_size: int) -> bytes:
     """qzLZ4HeaderGen (reference src/qatzip_lz4.c:104-133)."""
     body = struct.pack("<BBQ", _FLG, _BD, content_size)
-    hc = (xxhash.xxh32(body, 0).intdigest() >> 8) & 0xFF
+    hc = (_ck.xxh32(body, 0) >> 8) & 0xFF
     return struct.pack("<I", LZ4_MAGIC) + body + bytes([hc])
 
 

@@ -355,6 +355,98 @@ uint32_t qz_crc32_combine(uint32_t crc1, uint32_t crc2, int64_t len2) {
     return gf2_times(cached_op, crc1) ^ crc2;
 }
 
+// XXH32 (xxHash, public-domain algorithm re-implemented from the spec) —
+// the vendored-hash role of the reference's src/xxhash.c (used for LZ4
+// frame header/content checksums, src/qatzip_lz4.c:130).
+static inline uint32_t xxh_rotl32(uint32_t x, int r) {
+    return (x << r) | (x >> (32 - r));
+}
+
+uint32_t qz_xxh32(const uint8_t* p, int64_t len, uint32_t seed) {
+    static const uint32_t P1 = 2654435761U, P2 = 2246822519U,
+                          P3 = 3266489917U, P4 = 668265263U, P5 = 374761393U;
+    const uint8_t* end = p + len;
+    uint32_t h;
+    if (len >= 16) {
+        uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed,
+                 v4 = seed - P1;
+        const uint8_t* limit = end - 16;
+        do {
+            v1 = xxh_rotl32(v1 + read32(p) * P2, 13) * P1; p += 4;
+            v2 = xxh_rotl32(v2 + read32(p) * P2, 13) * P1; p += 4;
+            v3 = xxh_rotl32(v3 + read32(p) * P2, 13) * P1; p += 4;
+            v4 = xxh_rotl32(v4 + read32(p) * P2, 13) * P1; p += 4;
+        } while (p <= limit);
+        h = xxh_rotl32(v1, 1) + xxh_rotl32(v2, 7) + xxh_rotl32(v3, 12)
+            + xxh_rotl32(v4, 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (uint32_t)len;
+    while (p + 4 <= end) {
+        h = xxh_rotl32(h + read32(p) * P3, 17) * P4;
+        p += 4;
+    }
+    while (p < end) {
+        h = xxh_rotl32(h + (*p++) * P5, 11) * P1;
+    }
+    h ^= h >> 15; h *= P2; h ^= h >> 13; h *= P3; h ^= h >> 16;
+    return h;
+}
+
+uint64_t qz_xxh64(const uint8_t* p, int64_t len, uint64_t seed) {
+    static const uint64_t P1 = 11400714785074694791ULL,
+                          P2 = 14029467366897019727ULL,
+                          P3 = 1609587929392839161ULL,
+                          P4 = 9650029242287828579ULL,
+                          P5 = 2870177450012600261ULL;
+    auto rotl64 = [](uint64_t x, int r) {
+        return (x << r) | (x >> (64 - r));
+    };
+    auto read64 = [](const uint8_t* q) {
+        uint64_t v;
+        std::memcpy(&v, q, 8);
+        return v;
+    };
+    auto round64 = [&](uint64_t acc, uint64_t input) {
+        return rotl64(acc + input * P2, 31) * P1;
+    };
+    const uint8_t* end = p + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed,
+                 v4 = seed - P1;
+        const uint8_t* limit = end - 32;
+        do {
+            v1 = round64(v1, read64(p)); p += 8;
+            v2 = round64(v2, read64(p)); p += 8;
+            v3 = round64(v3, read64(p)); p += 8;
+            v4 = round64(v4, read64(p)); p += 8;
+        } while (p <= limit);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+        h = (h ^ round64(0, v1)) * P1 + P4;
+        h = (h ^ round64(0, v2)) * P1 + P4;
+        h = (h ^ round64(0, v3)) * P1 + P4;
+        h = (h ^ round64(0, v4)) * P1 + P4;
+    } else {
+        h = seed + P5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        h = rotl64(h ^ round64(0, read64(p)), 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h = rotl64(h ^ ((uint64_t)read32(p) * P1), 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        h = rotl64(h ^ ((*p++) * P5), 11) * P1;
+    }
+    h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+    return h;
+}
+
 // Assemble an LZ4/LZ4s block from the device match-finder's per-position
 // records: rec[p] = (match_len << 15) | dist, nonzero only where the
 // device's greedy parse selected a match start.  The host walk replays the

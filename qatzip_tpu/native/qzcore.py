@@ -61,6 +61,10 @@ _lib.qz_batch_inflate.argtypes = [
     ctypes.c_char_p, _I64P, _I64P, _I64P, _I64P, _I64P,
     ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+_lib.qz_xxh32.restype = ctypes.c_uint32
+_lib.qz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32]
+_lib.qz_xxh64.restype = ctypes.c_uint64
+_lib.qz_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64]
 _lib.qz_lz4_assemble.restype = ctypes.c_int64
 _lib.qz_lz4_assemble.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                  ctypes.c_void_p, ctypes.c_void_p,
@@ -77,6 +81,15 @@ _lib.qz_huff_build_batch.argtypes = [
 BATCH_FMT = {"4B": 0, "gzip": 1, "gzipext": 2, "raw": 3, "zlib": 4}
 _BATCH_HDR = {0: 4, 1: 10, 2: 24, 3: 0, 4: 2}
 _BATCH_FTR = {0: 0, 1: 8, 2: 8, 3: 0, 4: 4}
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """Vendored XXH32 (the reference vendors src/xxhash.c)."""
+    return _lib.qz_xxh32(data, len(data), seed & 0xFFFFFFFF)
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    return _lib.qz_xxh64(data, len(data), seed & 0xFFFFFFFFFFFFFFFF)
 
 
 def lz4_assemble(data: bytes, rec, mode: int = 0,

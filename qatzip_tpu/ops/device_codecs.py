@@ -270,8 +270,8 @@ def _chunk_checksum(chunk: bytes, params: InternalParams) -> int:
     if kind == "adler32":
         return zlib.adler32(chunk) & 0xFFFFFFFF
     if kind == "xxh32":
-        import xxhash
-        return xxhash.xxh32(chunk, 0).intdigest()
+        from qatzip_tpu.utils import checksum as _ck
+        return _ck.xxh32(chunk, 0)
     return zlib.crc32(chunk) & 0xFFFFFFFF
 
 

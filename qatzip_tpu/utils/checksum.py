@@ -103,6 +103,31 @@ def adler32(data, value: int = 1) -> int:
     return zlib.adler32(data, value) & 0xFFFFFFFF
 
 
+def xxh32(data, seed: int = 0) -> int:
+    """XXH32 via the vendored native implementation (the reference vendors
+    src/xxhash.c with XXH_NAMESPACE=QATZIP_); falls back to the pip
+    `xxhash` wheel when the native library is unavailable."""
+    try:
+        from qatzip_tpu.native import qzcore as _native
+
+        return _native.xxh32(bytes(data), seed)
+    except Exception:
+        import xxhash as _xx
+
+        return _xx.xxh32(bytes(data), seed).intdigest()
+
+
+def xxh64(data, seed: int = 0) -> int:
+    try:
+        from qatzip_tpu.native import qzcore as _native
+
+        return _native.xxh64(bytes(data), seed)
+    except Exception:
+        import xxhash as _xx
+
+        return _xx.xxh64(bytes(data), seed).intdigest()
+
+
 # ---------------------------------------------------------------------------
 # Session-configurable CRC32/CRC64 (reference QzCrc32Config_T /
 # QzCrc64Config_T, include/qatzip.h:753-787)

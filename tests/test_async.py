@@ -54,3 +54,28 @@ def test_async_roundtrip_decompress2(corpus_factory):
     out = fut2.result(timeout=30)
     assert out.rc == C.QZ_OK and out.data == data
     qz.qz_close(sess)
+
+
+def test_async_parallel_execution_preserves_order(corpus_factory):
+    """Multiple in-flight requests execute on the executor pool but
+    complete strictly in submission order (the reference's seq invariant,
+    src/qatzip.c:1641-1649)."""
+    from qatzip_tpu.async_api import qz_compress2
+    import qatzip_tpu as qz
+
+    sess = qz.QzSession()
+    assert qz.qz_setup_session_deflate(sess) == qz.QZ_OK
+    datas = [corpus_factory(30_000 + 1000 * i) for i in range(12)]
+    order = []
+    futs = []
+    for i, d in enumerate(datas):
+        rc, fut = qz_compress2(sess, d,
+                               callback=lambda ext, *a: order.append(ext),
+                               external=i)
+        assert rc == qz.QZ_OK
+        futs.append(fut)
+    results = [f.result(timeout=30) for f in futs]
+    assert all(r.rc == qz.QZ_OK for r in results)
+    assert order == list(range(12))
+    for d, r in zip(datas, results):
+        assert qz.decompress(r.data, "deflate") == d

@@ -97,3 +97,43 @@ def test_device_checksums_flow_through_api(monkeypatch, corpus_factory):
     dres = qz.qz_decompress_crc(sess2, res.data)
     assert dres.rc == qz.QZ_OK and dres.data == data
     assert dres.crc == (zlib.crc32(data) & 0xFFFFFFFF)
+
+
+def test_flow_counters_balance(corpus_factory):
+    """Every request leaves the four flow stages equal (the flow-counter
+    race checker, reference src/qatzip.c:209-243)."""
+    import qatzip_tpu as qz
+    from qatzip_tpu.engine.flow import flow
+
+    data = corpus_factory(300_000)
+    comp = qz.compress(data, "deflate", sw_only=True,
+                       fmt=qz.QzDataFormat.QZ_DEFLATE_GZIP_EXT
+                       if hasattr(qz, "QzDataFormat") else None)
+    assert qz.decompress(comp, "deflate", sw_only=True) == data
+    d = qz.qz_dump_counters()
+    assert d["flow_errors"] == 0
+    assert d["planned"] == d["submitted"] == d["completed"] == d["reassembled"]
+
+
+def test_flow_error_detected(monkeypatch, corpus_factory):
+    """A backend that drops a chunk must trip the flow checker and fail
+    the request instead of emitting corrupt output."""
+    import qatzip_tpu as qz
+    from qatzip_tpu.engine import core as ec
+    from qatzip_tpu.engine.flow import flow
+
+    real = ec.CpuBackend.compress_chunks
+
+    def dropping(self, chunks, params):
+        out = real(self, chunks, params)
+        return out[:-1] if len(out) > 1 else out  # drop the last chunk
+
+    monkeypatch.setattr(ec.CpuBackend, "compress_chunks", dropping)
+    monkeypatch.setattr(ec, "_native", None)  # bypass the native C funnel
+    data = corpus_factory(200_000)
+    sess = qz.QzSession()
+    assert qz.qz_setup_session_deflate(sess) == qz.QZ_OK
+    errs_before = flow.dump()["flow_errors"]
+    res = qz.qz_compress(sess, data)
+    assert res.rc == qz.QZ_FAIL
+    assert flow.dump()["flow_errors"] == errs_before + 1
