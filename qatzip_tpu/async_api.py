@@ -83,12 +83,15 @@ class AsyncCtrl:
         self.completer.start()
 
     def submit(self, req: _Request) -> int:
-        try:
-            req.seq = self._seq_submit
+        # seq assignment + enqueue are atomic: two threads submitting on one
+        # session must never get duplicate seq numbers, or the in-order
+        # completer stalls at the missing seq forever
+        with self._cv:
+            if self.ring.full():
+                return C.QZ_FAIL
+            req.seq = self._seq_submit  # assign before enqueue: the consumer
+            self._seq_submit += 1       # may dequeue immediately
             self.ring.put_nowait(req)
-        except queue.Full:
-            return C.QZ_FAIL
-        self._seq_submit += 1
         return C.QZ_OK
 
     def _consume(self) -> None:
@@ -147,9 +150,17 @@ class AsyncCtrl:
         self.completer.join(timeout=2.0)
 
 
+_ctrl_lock = threading.Lock()
+
+
 def _ensure_ctrl(sess: QzSession) -> AsyncCtrl:
+    # double-checked under a lock: two first-submit threads racing here
+    # must not each spawn a ctrl (one ring would be orphaned with its
+    # requests never completed)
     if sess.async_ctrl is None:
-        sess.async_ctrl = AsyncCtrl(sess)
+        with _ctrl_lock:
+            if sess.async_ctrl is None:
+                sess.async_ctrl = AsyncCtrl(sess)
     return sess.async_ctrl
 
 

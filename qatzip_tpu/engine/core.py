@@ -238,6 +238,14 @@ def compress_ext(sess: QzSession, src, last: int = 1,
             data = None  # fall through to the generic per-chunk path
         if data is not None:
             nchunks = len(chunks)
+            # the native funnel chunks/compresses/reassembles in one C call;
+            # record a balanced quad so the flow totals cover this path too
+            nf = flow.request()
+            nf.add("planned", nchunks)
+            nf.add("submitted", nchunks)
+            nf.add("completed", nchunks)
+            nf.add("reassembled", nchunks)
+            nf.check("compress-native")
             if p.is_sensitive_mode:
                 sess.swt.update((time.perf_counter() - t0) / nchunks / 4)
             _engine.sw_requests += nchunks
@@ -250,8 +258,9 @@ def compress_ext(sess: QzSession, src, last: int = 1,
                 res.crc = ck.adler32_combine(crc_init, comb, len(src))
             res.data = data
             res.consumed = len(src)
-            sess.total_in += len(src)
-            sess.total_out += len(data)
+            with sess.stats_lock:
+                sess.total_in += len(src)
+                sess.total_out += len(data)
             sess.last_ext_rc = res.ext_rc
             return res
 
@@ -275,6 +284,7 @@ def compress_ext(sess: QzSession, src, last: int = 1,
             rf.add("completed", len(compressed))
         else:
             QZ_ERROR("compress failed: %s", exc)
+            rf.abort()
             res.rc = C.QZ_FAIL
             return res
     elapsed = time.perf_counter() - t0
@@ -296,9 +306,10 @@ def compress_ext(sess: QzSession, src, last: int = 1,
         member = framing.frame_chunk(fmt, cc.payload, cc.consumed, cc.checksum)
         if dest_limit is not None and len(out) + len(member) > dest_limit:
             if i == 0:
+                rf.abort()
                 res.rc = C.QZ_BUF_ERROR
                 return res
-            rf.add("reassembled", len(compressed) - i)  # truncated by intent
+            rf.reconcile()  # truncated by intent
             break
         out += member
         consumed += cc.consumed
@@ -330,8 +341,9 @@ def compress_ext(sess: QzSession, src, last: int = 1,
 
     res.data = data
     res.consumed = consumed
-    sess.total_in += consumed
-    sess.total_out += len(data)
+    with sess.stats_lock:
+        sess.total_in += consumed
+        sess.total_out += len(data)
     sess.last_ext_rc = res.ext_rc
     return res
 
@@ -389,14 +401,21 @@ def _batch_inflate_fast(sess: QzSession, buf: memoryview, p: InternalParams,
         return None  # corrupt/mismatch: generic path reproduces the error
     if p.is_sensitive_mode:
         sess.swt.update((time.perf_counter() - t0) / len(offs) / 4)
+    nf = flow.request()
+    nf.add("planned", len(offs))
+    nf.add("submitted", len(offs))
+    nf.add("completed", len(offs))
+    nf.add("reassembled", len(offs))
+    nf.check("decompress-native")
     _engine.sw_requests += len(offs)
     res.ext_rc |= C.QZ_SW_EXECUTION_MASK
     res.data = data
     res.consumed = pos
     res.crc = comb
     sess.end_of_last_block = last_eof
-    sess.total_in += pos
-    sess.total_out += len(data)
+    with sess.stats_lock:
+        sess.total_in += pos
+        sess.total_out += len(data)
     sess.last_ext_rc = res.ext_rc
     return res
 
@@ -435,6 +454,7 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
     # mirroring the reference's 32-in-flight chunk submission
     # (src/qatzip.c:1505-1594) — while foreign/raw members whose boundary is
     # only discoverable by inflating decode inline on the host.
+    rf = flow.request()
     stop = False
     while pos < n and not stop:
         members: list[tuple] = []
@@ -450,13 +470,16 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
             scan += total_len
         if not members:
             if pos == 0:
+                rf.abort()
                 res.rc = C.QZ_DATA_ERROR
                 return res
             break  # trailing garbage / partial member: stop at boundary
+        rf.add("planned", len(members))
 
         batch = [m for m in members if not m[5]]
         decoded: list = []
         if batch:
+            rf.add("submitted", len(batch))
             payloads = [bytes(buf[m[0]:m[0] + m[1]]) for m in batch]
             hints = [m[2] for m in batch]
             t0 = time.perf_counter()
@@ -483,21 +506,27 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                         decoded = _engine.cpu_backend.decompress_chunks(
                             payloads, hints, p)
                     except Exception:
+                        rf.abort()
                         res.rc = C.QZ_DATA_ERROR
                         return res
                 else:
+                    rf.abort()
                     res.rc = C.QZ_DATA_ERROR
                     return res
+            rf.add("completed", len(decoded))
             if is_sw:
                 _engine.sw_requests += len(batch)
 
         di = 0
+        emitted = 0
         for member in members:
             (payload_off, payload_len, hint, expected_ck, total_len,
              inline) = member
             if inline:
                 # boundary unknown until inflate: decode on host
+                rf.add("submitted")
                 data, used, eof = _inflate_stream(buf, payload_off)
+                rf.add("completed")
                 total_len = (payload_off - pos) + used + framing.footer_sz(fmt) \
                     if fmt in (DataFormatInternal.DEFLATE_GZIP,
                                DataFormatInternal.DEFLATE_GZIP_EXT,
@@ -512,6 +541,7 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                     if fpos + 8 <= n:
                         fcrc, fisize = gzip_fmt.parse_std_gzip_footer(buf, fpos)
                         if fcrc != chunk_ck or fisize != (len(data) & 0xFFFFFFFF):
+                            rf.abort()
                             res.rc = C.QZ_DATA_ERROR
                             return res
                 elif fmt == DataFormatInternal.DEFLATE_ZLIB:
@@ -519,6 +549,7 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                     if fpos + 4 <= n:
                         fadl = zlib_fmt.parse_zlib_footer(buf, fpos)
                         if fadl != chunk_ck:
+                            rf.abort()
                             res.rc = C.QZ_DATA_ERROR
                             return res
                 eos = eof
@@ -529,11 +560,13 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                 if expected_ck is not None and chunk_ck != expected_ck:
                     QZ_ERROR("checksum mismatch: got %08x expect %08x",
                              chunk_ck, expected_ck)
+                    rf.abort()
                     res.rc = C.QZ_DATA_ERROR
                     return res
 
             if dest_limit is not None and len(out) + len(data) > dest_limit:
                 if first:
+                    rf.abort()
                     res.rc = C.QZ_BUF_ERROR
                     return res
                 stop = True
@@ -541,6 +574,8 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
 
             out += data
             pos += total_len
+            emitted += 1
+            rf.add("reassembled")
             res.crc = _session_crc_update(kind, res.crc, chunk_ck, len(data),
                                           first)
             first = False
@@ -549,11 +584,19 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
             if p.stop_decompression_stream_end and eos:
                 stop = True
                 break
+        if stop:
+            # intentional early stop (dest_limit / stream-end): planned
+            # members past the stop point are skipped by design, not lost
+            rf.reconcile()
 
+    if not rf.check("decompress"):
+        res.rc = C.QZ_FAIL
+        return res
     res.data = bytes(out)
     res.consumed = pos
-    sess.total_in += pos
-    sess.total_out += len(out)
+    with sess.stats_lock:
+        sess.total_in += pos
+        sess.total_out += len(out)
     sess.last_ext_rc = res.ext_rc
     return res
 

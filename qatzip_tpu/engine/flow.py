@@ -55,6 +55,30 @@ class _RequestFlow:
         with self._t._lock:
             self._t.totals[stage] += n
 
+    def reconcile(self) -> None:
+        """Equalize this request's stage counts (to their max) after an
+        *intentional* truncation — dest_limit stop or stream-end stop — so
+        that planned-but-skipped chunks don't read as dropped.  Races still
+        surface: a genuinely lost chunk makes 'completed' lag 'submitted'
+        before any truncation decision, which check() would have seen on
+        the non-truncated path."""
+        m = max(self.counts.values())
+        with self._t._lock:
+            for s, n in self.counts.items():
+                self._t.totals[s] += m - n
+        self.counts = {s: m for s in FlowTracker.STAGES}
+
+    def abort(self) -> None:
+        """Void this request: unwind its stage counts from the global
+        totals.  Used on intentional early exits (QZ_BUF_ERROR, whole-batch
+        failure) so the global balance only reflects completed requests —
+        the reference likewise resets a buffer's counter quad before reuse
+        (src/qatzip.c:402-437) rather than leaving dangling counts."""
+        with self._t._lock:
+            for s, n in self.counts.items():
+                self._t.totals[s] -= n
+        self.counts = {s: 0 for s in FlowTracker.STAGES}
+
     def check(self, context: str = "") -> bool:
         """Assert all four stages saw the same chunk count (the legal
         counter ordering at buffer-reuse time, reference

@@ -22,6 +22,7 @@ import time
 
 FAILURE_TRIP = 3          # consecutive failures that trip the breaker
 COOLDOWN_S = 30.0         # breaker-open interval before a probe is allowed
+PROBE_TIMEOUT_S = 10.0    # re-offer the probe slot if no outcome arrives
 
 
 class DeviceHealth:
@@ -30,6 +31,7 @@ class DeviceHealth:
         self._consec_failures = 0
         self._tripped_at = 0.0
         self._probe_inflight = False
+        self._probe_started = 0.0
         self.total_failures = 0
         self._hb_thread: threading.Thread | None = None
 
@@ -56,11 +58,17 @@ class DeviceHealth:
         with self._lock:
             if self._consec_failures < FAILURE_TRIP:
                 return True
-            if time.monotonic() - self._tripped_at < COOLDOWN_S:
+            now = time.monotonic()
+            if now - self._tripped_at < COOLDOWN_S:
                 return False
-            if self._probe_inflight:
+            # Re-offer the probe slot after a timeout: an admitted probe can
+            # be rerouted to the CPU by later gates (input_sz_thrshold,
+            # devcal) and then never reports an outcome — without expiry the
+            # device would stay blacklisted forever.
+            if self._probe_inflight and now - self._probe_started < PROBE_TIMEOUT_S:
                 return False
             self._probe_inflight = True  # this caller is the probe
+            self._probe_started = now
             return True
 
     # -- optional active heartbeat -----------------------------------------

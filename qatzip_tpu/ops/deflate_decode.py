@@ -453,7 +453,7 @@ def _next_pow2(x: int, lo: int) -> int:
 
 
 def inflate_batch(payloads, hints, max_rounds: int = 64,
-                  kind: str | None = None):
+                  kind: str | None = None, ran_out: list | None = None):
     """Inflate complete raw-deflate streams on device.
 
     Returns a list of (data: bytes, end_of_stream: bool, checksum) entries
@@ -471,8 +471,18 @@ def inflate_batch(payloads, hints, max_rounds: int = 64,
             s.failed = True
         if hint is not None and hint > MAX_OUTCAP:
             s.failed = True
+        # the chain-resolve grid packs a position key as (idx+1)<<12 in
+        # uint32, so grid indices must stay below 2^20; streams whose
+        # nbits+outcap could exceed that would decode the tail to wrong
+        # bytes — route them to the CPU path instead
+        # mirror _run_device_round's outcap choice for unknown hints (1<<16)
+        cap = int(hint) if (hint is not None and hint > 0) else (1 << 16)
+        if len(s.payload) * 8 + cap >= (1 << 20):
+            s.failed = True
         streams.append(s)
 
+    if ran_out is not None:
+        ran_out.clear()
     for _ in range(max_rounds):
         batch = []
         for s in streams:
@@ -490,6 +500,8 @@ def inflate_batch(payloads, hints, max_rounds: int = 64,
                 s.failed = True
         if not batch:
             break
+        if ran_out is not None and not ran_out:
+            ran_out.append(True)  # at least one real device round executed
         _run_device_round(batch)
 
     results = []
@@ -556,6 +568,15 @@ def _run_device_round(batch) -> None:
                 for s in batch), 1 << 12), 4096)
     outcap = min(outcap, MAX_OUTCAP)
 
+    # _ffill_key24 packs grid index+1 into the top 20 bits of a uint32;
+    # a round whose sorted record+grid array (nbits + outcap entries) would
+    # overflow that key loses markers and corrupts the output tail — fail
+    # the whole round to the CPU path instead
+    if nbits + outcap >= (1 << 20):
+        for s in batch:
+            s.failed = True
+        return
+
     # block-DP decode: pad the batch to the local mesh size and shard the
     # batch axis (padding rows decode garbage and are dropped).  Batch
     # shape is pinned to {1, 8, k*ndev} so kernel compiles stay bounded
@@ -570,7 +591,9 @@ def _run_device_round(batch) -> None:
     elif B == 1:
         mesh = None
     else:
-        B = 8
+        # round up (not clamp): inflate_batch is a public entry point and
+        # may carry more than MAX_DECODE_BATCH streams
+        B = ((B + 7) // 8) * 8
     pbytes = max(len(s.payload) for s in batch)
     PB = ((pbytes + 4 + 127) // 128) * 128 + 128
     pay = np.zeros((B, PB), np.uint8)

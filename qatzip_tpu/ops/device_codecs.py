@@ -145,8 +145,12 @@ class DeflateDeviceCodec:
             batch = payloads[start:start + self.MAX_DECODE_BATCH]
             bh = hints[start:start + self.MAX_DECODE_BATCH]
             try:
-                results = dd.inflate_batch(batch, bh, kind=kind)
-                health.record_success()
+                ran: list = []
+                results = dd.inflate_batch(batch, bh, kind=kind, ran_out=ran)
+                if ran:
+                    # only a round that actually dispatched to the device is
+                    # evidence of health; an all-pre-failed batch is not
+                    health.record_success()
             except Exception:
                 # device dispatch failure: per-batch reroute to the CPU
                 # (decompInSWFallback analog, src/qatzip_sw.c:792-846)

@@ -7,6 +7,7 @@ the same validation rules (src/qatzip_utils.c:395-635).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Callable, Optional
 
 from qatzip_tpu import constants as C
@@ -221,19 +222,24 @@ class LatencyMetrix:
     SIZE = 8
 
     def __init__(self):
+        self._lock = threading.Lock()
         self.samples = [0.0] * self.SIZE
         self.idx = 0
         self.filled = 0
 
     def update(self, value: float) -> None:
-        self.samples[self.idx] = value
-        self.idx = (self.idx + 1) % self.SIZE
-        self.filled = min(self.filled + 1, self.SIZE)
+        # async mode runs several executors against one session; the ring
+        # index must not be corrupted by concurrent updates
+        with self._lock:
+            self.samples[self.idx] = value
+            self.idx = (self.idx + 1) % self.SIZE
+            self.filled = min(self.filled + 1, self.SIZE)
 
     def average(self) -> float:
-        if not self.filled:
-            return 0.0
-        return sum(self.samples[: self.filled]) / self.filled
+        with self._lock:
+            if not self.filled:
+                return 0.0
+            return sum(self.samples[: self.filled]) / self.filled
 
     def reset(self) -> None:
         self.__init__()
@@ -246,6 +252,7 @@ class QzSession:
     def __init__(self):
         self.hw_session_stat = C.QZ_NONE
         self.thd_sess_stat = C.QZ_OK
+        self.stats_lock = threading.Lock()  # guards total_in/total_out
         self.total_in = 0
         self.total_out = 0
         self.params: InternalParams | None = None

@@ -79,3 +79,39 @@ def test_async_parallel_execution_preserves_order(corpus_factory):
     assert order == list(range(12))
     for d, r in zip(datas, results):
         assert qz.decompress(r.data, "deflate") == d
+
+
+def test_async_concurrent_submitters_stress(corpus_factory):
+    """Many threads submitting on one session: seq assignment must stay
+    unique (no completer stall) and session totals must balance."""
+    import threading
+
+    import qatzip_tpu as qz
+    from qatzip_tpu import async_api
+
+    sess = qz.QzSession()
+    qz.qz_setup_session_deflate(sess)
+    data = corpus_factory(20000)
+    futures = []
+    flock = threading.Lock()
+
+    def submitter():
+        for _ in range(25):
+            rc, fut = async_api.qz_compress2(sess, data)
+            assert rc == qz.QZ_OK
+            with flock:
+                futures.append(fut)
+
+    threads = [threading.Thread(target=submitter) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(futures) == 100
+    results = [f.result(timeout=60) for f in futures]
+    for r in results:
+        assert r.rc == qz.QZ_OK
+        assert qz.decompress(bytes(r.data), "deflate", sw_only=True) == data
+    # totals accounting must match exactly under concurrency
+    assert sess.total_in == 100 * len(data)
+    assert sess.total_out == sum(len(r.data) for r in results)

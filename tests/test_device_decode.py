@@ -101,3 +101,26 @@ def test_device_encode_device_decode_roundtrip(corpus_factory, monkeypatch):
     import gzip as _gzip
 
     assert _gzip.decompress(comp) == data
+
+
+def test_inflate_large_literal_stream_rejected_not_corrupted():
+    """A ~512KB literal-heavy stream would overflow the 20-bit position key
+    in the chain-resolve grid (_ffill_key24) and silently corrupt the output
+    tail; such streams must be rejected to the CPU path, never mis-decoded."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=512 * 1024, dtype=np.uint8).tobytes()
+    payload = _raw(data, 1)
+    res = dd.inflate_batch([payload], [len(data)])
+    # either correctly decoded or explicitly handed back for CPU fallback
+    assert res[0] is None or res[0][0] == data
+
+
+def test_inflate_batch_over_eight_streams(corpus_factory):
+    """inflate_batch is a public entry point with no batch cap; more than 8
+    streams must round the device batch up, not raise IndexError."""
+    datas = [corpus_factory(2000 + 97 * i, "text") for i in range(11)]
+    res = dd.inflate_batch([_raw(d, 6) for d in datas],
+                           [len(d) for d in datas])
+    for d, r in zip(datas, res):
+        assert r is not None and r[0] == d

@@ -137,3 +137,21 @@ def test_flow_error_detected(monkeypatch, corpus_factory):
     res = qz.qz_compress(sess, data)
     assert res.rc == qz.QZ_FAIL
     assert flow.dump()["flow_errors"] == errs_before + 1
+
+
+def test_probe_slot_expires():
+    """An admitted recovery probe that never reports an outcome (rerouted to
+    the CPU by a later gate) must not blacklist the device forever."""
+    from qatzip_tpu.engine import health as hm
+
+    h = hm.DeviceHealth()
+    for _ in range(hm.FAILURE_TRIP):
+        h.record_failure()
+    assert not h.healthy()          # breaker open, inside cooldown
+    h._tripped_at -= hm.COOLDOWN_S + 1
+    assert h.healthy()              # probe slot handed out
+    assert not h.healthy()          # second caller blocked while inflight
+    # probe vanished without record_success/record_failure: after the
+    # timeout the slot must be re-offered
+    h._probe_started -= hm.PROBE_TIMEOUT_S + 1
+    assert h.healthy()
