@@ -44,7 +44,7 @@ from qatzip_tpu.utils.checksum import Crc32Config, Crc64Config  # noqa: F401
 from qatzip_tpu.utils.logging import set_log_level as qz_set_log_level  # noqa: F401
 
 __all__ = [
-    "QzSession", "OpResult",
+    "QzSession", "OpResult", "member_boundaries",
     "qz_init", "qz_close", "qz_teardown_session",
     "qz_setup_session", "qz_setup_session_deflate", "qz_setup_session_deflate_ext",
     "qz_setup_session_lz4", "qz_setup_session_lz4s",
@@ -614,6 +614,36 @@ def decompress(data, algorithm: str = "deflate",
     if res.rc != C.QZ_OK:
         raise C.QzError(res.rc, "decompress failed")
     return res.data
+
+
+def member_boundaries(data, algorithm: str = "deflate",
+                      fmt: QzDataFormat | None = None,
+                      hw_buff_sz: int = C.QZ_HW_BUFF_SZ) -> list[tuple[int, int]]:
+    """Byte spans [start, end) of each framed member in a chunked stream.
+
+    The framing walk is the checkHeader analog (reference
+    src/qatzip_utils.c:1232-1345); members whose boundary is only
+    discoverable by inflating (raw deflate, foreign gzip) terminate the
+    walk with one final span covering the rest.  Used by the distributed
+    engine to scatter members across processes (parallel/dist_engine.py)
+    and by random-access readers."""
+    from qatzip_tpu.engine import core as _core
+
+    sess = _session_for(algorithm, fmt, 1, hw_buff_sz, sw_only=True)
+    buf = memoryview(bytes(data))
+    out: list[tuple[int, int]] = []
+    pos = 0
+    while pos < len(buf):
+        m = _core._parse_member(buf, pos, sess.params, sess)
+        if m is None:
+            break
+        total_len = m[4]
+        if m[5] or total_len < 0:  # inline member: span unknown until inflate
+            out.append((pos, len(buf)))
+            return out
+        out.append((pos, pos + total_len))
+        pos += total_len
+    return out
 
 
 # camelCase aliases matching the reference API names

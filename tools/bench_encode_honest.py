@@ -1,4 +1,9 @@
 """Honest steady-state timing: every call's output is read back to host."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), '.jax_cache'))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from qatzip_tpu.ops import deflate_encode as de
@@ -15,7 +20,7 @@ def fresh(i):
         data[b, :N] = np.frombuffer(raw[off + b*N : off + (b+1)*N], np.uint8)
     return jnp.asarray(data), jnp.asarray(np.full((B,), N, np.int32))
 
-fn = jax.jit(lambda d, l: de.encode_blocks(d, l, 1, 16, True, M))
+fn = lambda d, l: de.encode_blocks(d, l, 1, 16, True, M)  # has host Huffman stage; not jittable as one unit
 d, l = fresh(0)
 w, bits, mode = fn(d, l)
 _ = np.asarray(bits)  # drain compile+first exec

@@ -1,0 +1,57 @@
+"""Worker process for the 2-process jax.distributed test/harness.
+
+Launched once per rank with QATZIP_TPU_COORDINATOR / _NUM_PROCESSES /
+_PROCESS_ID set (the run_perf_test.sh multi-process analog, reference
+test/performance_tests/run_perf_test.sh:72-124).  Compresses a
+deterministic corpus through the distributed engine path, verifies the
+assembled stream against gzip and against a single-host reference stream,
+and prints one OK line.
+"""
+import gzip
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from qatzip_tpu.constants import QzDataFormat
+    from qatzip_tpu.parallel import dist, dist_engine
+
+    assert dist.init_distributed(), "coordinator env not set"
+    pid = jax.process_index()
+    nproc = jax.process_count()
+
+    rng = np.random.default_rng(42)
+    words = [b"the", b"quick", b"brown", b"fox", b"distributed", b"offload"]
+    data = b" ".join(words[i] for i in rng.integers(0, len(words), 30000))
+
+    comp = dist_engine.compress_distributed(
+        data, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, hw_buff_sz=4096,
+        sw_only=True)
+    assert gzip.decompress(comp) == data, "gzip oracle mismatch"
+
+    out = dist_engine.decompress_distributed(
+        comp, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, hw_buff_sz=4096,
+        sw_only=True)
+    assert out == data, "distributed decompress mismatch"
+
+    # the distributed stream must equal the single-host stream bit-for-bit
+    # (deterministic member framing; seq invariant src/qatzip.c:1641-1649)
+    import qatzip_tpu as qz
+    ref = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                      hw_buff_sz=4096, sw_only=True)
+    assert comp == ref, "distributed stream differs from single-host stream"
+
+    print(f"DIST OK rank={pid}/{nproc} bytes={len(data)} comp={len(comp)}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,9 @@
 """Capture an XLA op-level trace of the full encoder and print top ops."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), '.jax_cache'))
+
 import glob
 import gzip
 import json
