@@ -1,0 +1,169 @@
+"""External-oracle validation of the LZ4 path.
+
+The lz4 CLI/package is absent from this environment, so the oracles are:
+(a) the real C `xxhash` module for every XXH32 in the frame (header HC
+byte and content checksum — the checksums a foreign decoder verifies
+first, reference src/qatzip_lz4.c:104-145);
+(b) hand-vendored golden frames assembled byte-by-byte from the public
+LZ4 frame/block format specs (v1.6.x), which any conforming decoder
+must accept — our decoder must produce the exact payloads;
+(c) structural checks of our emitted frames against the spec grammar.
+"""
+import struct
+
+import pytest
+import xxhash
+
+import qatzip_tpu as qz
+from qatzip_tpu.constants import QzDataFormat
+from qatzip_tpu.engine import lz4_block
+from qatzip_tpu.formats import lz4_fmt
+from qatzip_tpu.utils import checksum as ck
+
+
+# ---------------------------------------------------------------------------
+# XXH32/64 vs the real xxhash library
+# ---------------------------------------------------------------------------
+def test_xxh32_matches_reference_library(corpus_factory):
+    for n in list(range(0, 33)) + [63, 64, 65, 127, 1000, 4096]:
+        data = corpus_factory(n, "random")
+        for seed in (0, 1, 0xDEADBEEF):
+            assert ck.xxh32(data, seed) == xxhash.xxh32_intdigest(data, seed), \
+                f"n={n} seed={seed}"
+
+
+def test_xxh64_matches_reference_library(corpus_factory):
+    for n in (0, 1, 31, 32, 33, 1000):
+        data = corpus_factory(n, "random")
+        assert ck.xxh64(data, 7) == xxhash.xxh64_intdigest(data, 7)
+
+
+# ---------------------------------------------------------------------------
+# Golden frames hand-assembled from the LZ4 frame spec
+# ---------------------------------------------------------------------------
+def _golden_frame(payload_blocks, content: bytes, content_size: bool = True):
+    """Assemble a frame per spec: magic, FLG(v=01, B.Indep=1, C.Size,
+    C.Checksum=1), BD(4MB max), [content size], HC, blocks, EndMark,
+    content XXH32."""
+    flg = 0x40 | 0x04  # version 01, content-checksum
+    if content_size:
+        flg |= 0x08
+    bd = 0x70  # 4 MB max block size
+    desc = bytes([flg, bd])
+    if content_size:
+        desc += struct.pack("<Q", len(content))
+    hc = (xxhash.xxh32_intdigest(desc, 0) >> 8) & 0xFF
+    out = struct.pack("<I", 0x184D2204) + desc + bytes([hc])
+    for raw, is_compressed in payload_blocks:
+        size = len(raw) | (0 if is_compressed else 0x80000000)
+        out += struct.pack("<I", size) + raw
+    out += struct.pack("<I", 0)  # EndMark
+    out += struct.pack("<I", xxhash.xxh32_intdigest(content, 0))
+    return out
+
+
+def test_golden_stored_block_frame():
+    content = b"hello lz4 frame world"
+    frame = _golden_frame([(content, False)], content)
+    assert qz.decompress(frame, "lz4") == content
+
+
+def test_golden_compressed_block_frame():
+    """Hand-written LZ4 block per the block spec: token 0x54 = 5 literals,
+    match len 4+4=8... token high nibble = literal count, low nibble =
+    matchlength-4; offset little-endian 2 bytes."""
+    # content: "abcde" + 8 bytes matching offset 5 => "abcdeabcdeabc"
+    content = b"abcde" + b"abcdeabc"
+    # token: 5 literals (0x5), match length 8 -> low nibble 8-4=4
+    block = bytes([0x54]) + b"abcde" + struct.pack("<H", 5)
+    # trailing literals: spec requires last sequence literal-only (here the
+    # match is allowed because remaining >= 12? keep a literal tail instead)
+    content = content + b"XYZWQ"
+    block += bytes([0x50]) + b"XYZWQ"
+    frame = _golden_frame([(block, True)], content)
+    assert qz.decompress(frame, "lz4") == content
+
+
+def test_golden_multi_block_frame(corpus_factory):
+    a = corpus_factory(1000, "text")
+    b = corpus_factory(500, "random")
+    frame = _golden_frame([(a, False), (b, False)], a + b)
+    assert qz.decompress(frame, "lz4") == a + b
+
+
+def test_golden_no_content_size_frame():
+    content = b"sizeless"
+    frame = _golden_frame([(content, False)], content, content_size=False)
+    assert qz.decompress(frame, "lz4", hw_buff_sz=64 * 1024) == content
+
+
+# ---------------------------------------------------------------------------
+# Structural validation of our emitted frames (spec grammar + real xxhash)
+# ---------------------------------------------------------------------------
+def _walk_blocks(frame: bytes, off: int):
+    """Yield (raw_block_bytes, is_stored) until EndMark; returns end off."""
+    while True:
+        (size,) = struct.unpack_from("<I", frame, off)
+        off += 4
+        if size == 0:
+            return off
+        stored = bool(size & 0x80000000)
+        size &= 0x7FFFFFFF
+        yield frame[off:off + size], stored
+        off += size
+
+
+def test_our_frame_structure_and_checksums(corpus_factory):
+    """The engine emits one frame per hw_buff_sz chunk (the reference's
+    member-per-chunk contract); a conforming lz4 CLI decodes concatenated
+    frames.  Every frame must satisfy the spec grammar with real-xxhash
+    checksums."""
+    data = corpus_factory(200_000, "text")
+    stream = qz.compress(data, "lz4", level=1)
+    out = bytearray()
+    pos = 0
+    nframes = 0
+    while pos < len(stream):
+        frame = stream
+        assert frame[pos:pos + 4] == struct.pack("<I", 0x184D2204)
+        flg = frame[pos + 4]
+        assert (flg >> 6) == 0b01, "version bits"
+        has_csize = bool(flg & 0x08)
+        has_cck = bool(flg & 0x04)
+        desc_len = 2 + (8 if has_csize else 0)
+        desc = frame[pos + 4:pos + 4 + desc_len]
+        hc = frame[pos + 4 + desc_len]
+        assert hc == ((xxhash.xxh32_intdigest(desc, 0) >> 8) & 0xFF), \
+            "header checksum byte must match real xxhash"
+        csize = None
+        if has_csize:
+            (csize,) = struct.unpack_from("<Q", frame, pos + 6)
+        fout = bytearray()
+        gen = _walk_blocks(frame, pos + 4 + desc_len + 1)
+        while True:
+            try:
+                blk, stored = next(gen)
+            except StopIteration as stop:
+                end = stop.value
+                break
+            fout += blk if stored else lz4_block.lz4_block_decompress(
+                blk, 1 << 22)
+        if csize is not None:
+            assert csize == len(fout), "frame content size"
+        if has_cck:
+            (cck,) = struct.unpack_from("<I", frame, end)
+            assert cck == xxhash.xxh32_intdigest(bytes(fout), 0), \
+                "content checksum must match real xxhash"
+            end += 4
+        out += fout
+        pos = end
+        nframes += 1
+    assert bytes(out) == data
+    assert nframes == (len(data) + 65535) // 65536
+
+
+def test_our_frame_round_trip_all_sizes(corpus_factory):
+    for n in (0, 1, 11, 12, 13, 65536, 65537):
+        data = corpus_factory(n, "text")
+        frame = qz.compress(data, "lz4")
+        assert qz.decompress(frame, "lz4") == data
