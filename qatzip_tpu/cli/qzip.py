@@ -12,6 +12,9 @@ Supported flags mirror the reference:
   -o NAME       output file name
   -g LEVEL      log level (0-7)
   -s            use the streaming interface
+  -r N          repeat each request N times (perf loops, reference -r)
+  -P busy       busy-polling mode (eager device dispatch, reference -P)
+  -S            latency-sensitive mode routing (reference -s LSM flag)
   -h            help
 
 Files compress to <name>.<suffix>; with no files, stdin->stdout streaming is
@@ -35,7 +38,7 @@ _SUFFIX = {"gzip": ".gz", "gzipext": ".gz", "deflate_4B": ".4b",
 
 def _session(args):
     import qatzip_tpu as qz
-    from qatzip_tpu.constants import QzDataFormat
+    from qatzip_tpu.constants import QzDataFormat, QzPollingMode
     from qatzip_tpu.session import (QzSessionParamsCommon,
                                     QzSessionParamsDeflate,
                                     QzSessionParamsDeflateExt,
@@ -43,7 +46,11 @@ def _session(args):
 
     common = QzSessionParamsCommon(comp_lvl=args.level,
                                    hw_buff_sz=args.chunk_sz,
-                                   strm_buff_sz=args.chunk_sz)
+                                   strm_buff_sz=args.chunk_sz,
+                                   is_sensitive_mode=1 if getattr(args, "sensitive", False) else 0,
+                                   polling_mode=(QzPollingMode.QZ_BUSY_POLLING
+                                                 if getattr(args, "polling", None) == "busy"
+                                                 else QzPollingMode.QZ_PERIODICAL_POLLING))
     sess = qz.QzSession()
     algo = args.algorithm
     fmt = args.output_fmt
@@ -146,11 +153,13 @@ def _process_file(path, args):
     with open(path, "rb") as f:
         data = f.read()
     out_path = _out_name(path, args)
+    reps = max(1, getattr(args, "req_count", 1))
     t0 = time.time()
-    if args.decompress:
-        res = qz.qz_decompress(sess, data)
-    else:
-        res = qz.qz_compress(sess, data)
+    for _ in range(reps):
+        if args.decompress:
+            res = qz.qz_decompress(sess, data)
+        else:
+            res = qz.qz_compress(sess, data)
     elapsed = time.time() - t0
     if res.rc != C.QZ_OK:
         print(f"qzip: {'de' if args.decompress else ''}compress failed on "
@@ -159,7 +168,7 @@ def _process_file(path, args):
     with open(out_path, "wb") as f:
         f.write(res.data)
     _display_stats("decompress" if args.decompress else "compress",
-                   len(data), len(res.data), elapsed)
+                   len(data) * reps, len(res.data) * reps, elapsed)
     if not args.keep and os.path.abspath(out_path) != os.path.abspath(path):
         os.remove(path)
 
@@ -216,6 +225,16 @@ def make_parser():
     ap.add_argument("-g", dest="loglevel", type=int, default=None)
     ap.add_argument("-s", dest="stream", action="store_true",
                     help="use streaming interface")
+    # perf-tuning surface (reference utils/qzip_main.c:53-194)
+    ap.add_argument("-r", dest="req_count", type=int, default=1,
+                    help="times to repeat each (de)compression request "
+                         "(perf loops; stats cover all repetitions)")
+    ap.add_argument("-P", dest="polling", default=None, choices=["busy"],
+                    help="polling mode: busy keeps the submit pipeline "
+                         "saturated (maps to eager device dispatch)")
+    ap.add_argument("-S", dest="sensitive", action="store_true",
+                    help="enable latency-sensitive mode (LSM path routing; "
+                         "reference -s flag)")
     ap.add_argument("files", nargs="*")
     return ap
 
@@ -234,6 +253,25 @@ def main(argv=None):
 
     if not args.files:
         _process_stdio(args)
+        return
+
+    if args.output_fmt == "7z" and not args.decompress:
+        # the reference catenates EVERY input file/dir of one invocation
+        # into a single archive (utils/qzip_main.c:196-344,
+        # utils/qzip_7z.c:447-737) — one archive per run, not per file
+        for path in args.files:
+            if not os.path.exists(path):
+                print(f"qzip: {path}: no such file", file=sys.stderr)
+                sys.exit(1)
+        from qatzip_tpu.cli.sevenz import compress_7z
+        out = args.output or (args.files[0].rstrip(os.sep) + ".7z")
+        t0 = time.time()
+        in_sz, out_sz = compress_7z(list(args.files), out, args)
+        _display_stats("compress", in_sz, out_sz, time.time() - t0)
+        if not args.keep:
+            for path in args.files:
+                if os.path.isfile(path):
+                    os.remove(path)
         return
 
     for path in args.files:

@@ -75,3 +75,36 @@ def test_7z_cli_roundtrip(tree, tmp_path):
     r = run_qzip(["-d", "-k", "-o", str(dest), str(arc)])
     assert r.returncode == 0, r.stderr
     assert (dest / "a.txt").read_bytes() == (tree / "a.txt").read_bytes()
+
+
+def test_7z_cli_multi_input_single_archive(tmp_path):
+    """`qzip -O 7z a b dir/` must produce ONE archive catenating every
+    input (reference utils/qzip_main.c:196-344) — not an archive per file."""
+    from tests.test_cli import run_qzip
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.bin"
+    d = tmp_path / "sub"
+    (d / "deep").mkdir(parents=True)
+    a.write_bytes(b"alpha " * 100)
+    b.write_bytes(bytes(range(256)) * 10)
+    (d / "c.txt").write_bytes(b"nested file")
+    (d / "deep" / "empty.txt").write_bytes(b"")
+    arc = tmp_path / "all.7z"
+
+    r = run_qzip(["-k", "-O", "7z", "-o", str(arc),
+                  str(a), str(b), str(d)])
+    assert r.returncode == 0, r.stderr
+    assert arc.exists()
+    assert not (tmp_path / "a.txt.7z").exists(), "must not archive per-file"
+
+    dest = tmp_path / "out"
+    dest.mkdir()
+    r = run_qzip(["-d", "-k", "-o", str(dest), str(arc)])
+    assert r.returncode == 0, r.stderr
+    assert (dest / "a.txt").read_bytes() == a.read_bytes()
+    assert (dest / "b.bin").read_bytes() == b.read_bytes()
+    found_c = list(dest.rglob("c.txt"))
+    assert found_c and found_c[0].read_bytes() == b"nested file"
+    found_e = list(dest.rglob("empty.txt"))
+    assert found_e and found_e[0].read_bytes() == b""

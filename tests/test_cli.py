@@ -96,3 +96,14 @@ def test_cli_zstd_pipeline(workdir):
                 break
             out += piece
     assert bytes(out) == data
+
+
+def test_cli_perf_knobs(tmp_path):
+    """-r/-P/-S knobs (reference utils/qzip_main.c:53-194)."""
+    p = tmp_path / "x.txt"
+    p.write_bytes(b"knobs " * 2000)
+    r = run_qzip(["-k", "-r", "3", "-P", "busy", "-S",
+                  "-o", str(tmp_path / "x"), str(p)])
+    assert r.returncode == 0, r.stderr
+    import gzip
+    assert gzip.decompress((tmp_path / "x.gz").read_bytes()) == p.read_bytes()
