@@ -342,8 +342,12 @@ class QzStatus:
 
 
 def qz_get_status(sess: QzSession | None = None) -> QzStatus:
+    from qatzip_tpu import memory as _mem
+
     eng = core.engine()
     st = QzStatus()
+    st.memory_alloced = _mem.registered_bytes()
+    st.qat_mem_drvr = _mem.registered_count()
     st.qat_hw_count = eng.num_devices
     st.qat_service_init = eng.initialized
     st.qat_instance_attach = eng.hw_present

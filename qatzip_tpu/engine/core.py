@@ -207,10 +207,31 @@ def _session_crc_update(kind: str, crc: int, chunk_crc: int, chunk_len: int,
     return chunk_crc
 
 
+def _as_view(src) -> memoryview:
+    """Zero-copy byte view of any contiguous buffer-protocol object — the
+    pinned-buffer fast path (reference decompBufferSetup zero-copy branch,
+    src/qatzip_utils.c:1350-1427).  qz_malloc bytearrays, numpy arrays and
+    memoryview slices flow through without a memcpy; only non-buffer
+    iterables fall back to a copy."""
+    if isinstance(src, memoryview):
+        mv = src
+    else:
+        try:
+            mv = memoryview(src)
+        except TypeError:
+            return memoryview(bytes(src))
+    if mv.ndim != 1 or mv.itemsize != 1 or not mv.contiguous:
+        try:
+            mv = mv.cast("B")
+        except TypeError:
+            return memoryview(mv.tobytes())
+    return mv
+
+
 def compress_ext(sess: QzSession, src, last: int = 1,
                  dest_limit: int | None = None, crc_init: int = 0) -> OpResult:
     p = sess.params
-    src = bytes(src)
+    src = _as_view(src)
     res = OpResult(crc=crc_init)
     fmt = p.data_fmt
     kind = _engine.cpu_backend.checksum_kind(p)
@@ -330,7 +351,8 @@ def compress_ext(sess: QzSession, src, last: int = 1,
     if fmt == DataFormatInternal.LZ4S_BK and p.qzCallback is not None:
         t1 = time.perf_counter()
         try:
-            data = p.qzCallback(p.qzCallback_external, src[:consumed], data)
+            data = p.qzCallback(p.qzCallback_external, bytes(src[:consumed]),
+                                data)
         except Exception as exc:
             QZ_ERROR("post-process callback failed: %s", exc)
             res.rc = C.QZ_POST_PROCESS_ERROR
@@ -396,7 +418,7 @@ def _batch_inflate_fast(sess: QzSession, buf: memoryview, p: InternalParams,
     t0 = time.perf_counter()
     try:
         data, comb, last_eof = _native.batch_inflate(
-            bytes(buf), offs, plens, hints, expected, ck_kind)
+            buf, offs, plens, hints, expected, ck_kind)
     except ValueError:
         return None  # corrupt/mismatch: generic path reproduces the error
     if p.is_sensitive_mode:
@@ -422,7 +444,7 @@ def _batch_inflate_fast(sess: QzSession, buf: memoryview, p: InternalParams,
 
 def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpResult:
     p = sess.params
-    buf = memoryview(bytes(src))
+    buf = _as_view(src)
     n = len(buf)
     res = OpResult()
     fmt = p.data_fmt
@@ -480,7 +502,7 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
         decoded: list = []
         if batch:
             rf.add("submitted", len(batch))
-            payloads = [bytes(buf[m[0]:m[0] + m[1]]) for m in batch]
+            payloads = [buf[m[0]:m[0] + m[1]] for m in batch]
             hints = [m[2] for m in batch]
             t0 = time.perf_counter()
             try:

@@ -13,60 +13,60 @@ if _path is None:
 _lib = ctypes.CDLL(_path)
 
 _lib.qz_lz4_compress_block.restype = ctypes.c_int64
-_lib.qz_lz4_compress_block.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_lz4_compress_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_void_p, ctypes.c_int64]
 _lib.qz_lz4s_compress_block.restype = ctypes.c_int64
-_lib.qz_lz4s_compress_block.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_lz4s_compress_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_int]
 _lib.qz_lz4_decompress_block.restype = ctypes.c_int64
-_lib.qz_lz4_decompress_block.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_lz4_decompress_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.c_void_p, ctypes.c_int64]
 _lib.qz_lz4s_decompress_block.restype = ctypes.c_int64
-_lib.qz_lz4s_decompress_block.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_lz4s_decompress_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                           ctypes.c_void_p, ctypes.c_int64,
                                           ctypes.c_int]
 _lib.qz_crc32_combine.restype = ctypes.c_uint32
 _lib.qz_crc32_combine.argtypes = [ctypes.c_uint32, ctypes.c_uint32,
                                   ctypes.c_int64]
 _lib.qz_deflate_compress.restype = ctypes.c_int64
-_lib.qz_deflate_compress.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_deflate_compress.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int]
 _lib.qz_inflate.restype = ctypes.c_int64
-_lib.qz_inflate.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_inflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                             ctypes.c_void_p, ctypes.c_int64,
                             ctypes.POINTER(ctypes.c_int64),
                             ctypes.POINTER(ctypes.c_int32)]
 _lib.qz_crc32.restype = ctypes.c_uint32
-_lib.qz_crc32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int64]
+_lib.qz_crc32.argtypes = [ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64]
 _lib.qz_adler32.restype = ctypes.c_uint32
-_lib.qz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int64]
+_lib.qz_adler32.argtypes = [ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64]
 _lib.qz_adler32_combine.restype = ctypes.c_uint32
 _lib.qz_adler32_combine.argtypes = [ctypes.c_uint32, ctypes.c_uint32,
                                     ctypes.c_int64]
 _lib.qz_crc_generic.restype = ctypes.c_uint64
-_lib.qz_crc_generic.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_crc_generic.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_uint64, ctypes.c_uint64,
                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_uint64]
 _lib.qz_batch_deflate_compress.restype = ctypes.c_int64
 _lib.qz_batch_deflate_compress.argtypes = [
-    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32)]
 _lib.qz_batch_inflate.restype = ctypes.c_int64
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _lib.qz_batch_inflate.argtypes = [
-    ctypes.c_char_p, _I64P, _I64P, _I64P, _I64P, _I64P,
+    ctypes.c_void_p, _I64P, _I64P, _I64P, _I64P, _I64P,
     ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
     ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
 _lib.qz_xxh32.restype = ctypes.c_uint32
-_lib.qz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32]
+_lib.qz_xxh32.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
 _lib.qz_xxh64.restype = ctypes.c_uint64
-_lib.qz_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64]
+_lib.qz_xxh64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64]
 _lib.qz_lz4_assemble.restype = ctypes.c_int64
-_lib.qz_lz4_assemble.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+_lib.qz_lz4_assemble.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64, ctypes.c_int, ctypes.c_int]
 _lib.qz_huff_build_batch.restype = ctypes.c_int
@@ -77,19 +77,50 @@ _lib.qz_huff_build_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_void_p, ctypes.c_void_p]
 
+def _addr(data):
+    """(c_void_p, length, keepalive) for any contiguous bytes-like object,
+    zero-copy whenever the buffer protocol allows it.  This is the pinned-
+    buffer fast path of the reference (qzMemFindAddr -> zero-copy DMA,
+    src/qatzip_utils.c:1350-1427): qz_malloc buffers, bytearrays, numpy
+    arrays and memoryview slices feed the native funnels without a memcpy.
+    """
+    if isinstance(data, bytes):
+        return ctypes.cast(data, ctypes.c_void_p), len(data), data
+    mv = data if isinstance(data, memoryview) else memoryview(data)
+    if mv.ndim != 1 or mv.itemsize != 1:
+        mv = mv.cast("B")
+    if not mv.contiguous:
+        b = mv.tobytes()
+        return ctypes.cast(b, ctypes.c_void_p), len(b), b
+    n = mv.nbytes
+    if n == 0:
+        return ctypes.c_void_p(0), 0, mv
+    if mv.readonly:
+        # readonly view over bytes: address the underlying object directly
+        obj = getattr(mv, "obj", None)
+        if isinstance(obj, bytes) and len(obj) == n:
+            return ctypes.cast(obj, ctypes.c_void_p), n, obj
+        arr = (ctypes.c_char * n).from_buffer_copy(mv)
+        return ctypes.cast(arr, ctypes.c_void_p), n, arr
+    arr = (ctypes.c_char * n).from_buffer(mv)
+    return ctypes.cast(arr, ctypes.c_void_p), n, (mv, arr)
+
+
 # wire-format codes shared with qzbatch.cpp (enum Fmt)
 BATCH_FMT = {"4B": 0, "gzip": 1, "gzipext": 2, "raw": 3, "zlib": 4}
 _BATCH_HDR = {0: 4, 1: 10, 2: 24, 3: 0, 4: 2}
 _BATCH_FTR = {0: 0, 1: 8, 2: 8, 3: 0, 4: 4}
 
 
-def xxh32(data: bytes, seed: int = 0) -> int:
+def xxh32(data, seed: int = 0) -> int:
     """Vendored XXH32 (the reference vendors src/xxhash.c)."""
-    return _lib.qz_xxh32(data, len(data), seed & 0xFFFFFFFF)
+    p, n, keep = _addr(data)
+    return _lib.qz_xxh32(p, n, seed & 0xFFFFFFFF)
 
 
-def xxh64(data: bytes, seed: int = 0) -> int:
-    return _lib.qz_xxh64(data, len(data), seed & 0xFFFFFFFFFFFFFFFF)
+def xxh64(data, seed: int = 0) -> int:
+    p, n, keep = _addr(data)
+    return _lib.qz_xxh64(p, n, seed & 0xFFFFFFFFFFFFFFFF)
 
 
 def lz4_assemble(data: bytes, rec, mode: int = 0,
@@ -99,9 +130,10 @@ def lz4_assemble(data: bytes, rec, mode: int = 0,
     import numpy as np
 
     rec = np.ascontiguousarray(rec, np.int32)
-    cap = len(data) + len(data) // 255 + 64
+    p, dn, keep = _addr(data)
+    cap = dn + dn // 255 + 64
     out = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4_assemble(data, len(data),
+    n = _lib.qz_lz4_assemble(p, dn,
                              rec.ctypes.data_as(ctypes.c_void_p), out, cap,
                              mode, mini_match)
     if n < 0:
@@ -109,19 +141,21 @@ def lz4_assemble(data: bytes, rec, mode: int = 0,
     return out.raw[:n]
 
 
-def lz4_compress_block(data: bytes) -> bytes:
-    cap = len(data) + len(data) // 255 + 64
+def lz4_compress_block(data) -> bytes:
+    p, dn, keep = _addr(data)
+    cap = dn + dn // 255 + 64
     buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4_compress_block(data, len(data), buf, cap)
+    n = _lib.qz_lz4_compress_block(p, dn, buf, cap)
     if n < 0:
         raise ValueError("lz4 compress failed")
     return buf.raw[:n]
 
 
-def lz4s_compress_block(data: bytes, mini_match: int = 3) -> bytes:
-    cap = len(data) + len(data) // 255 + 64
+def lz4s_compress_block(data, mini_match: int = 3) -> bytes:
+    p, dn, keep = _addr(data)
+    cap = dn + dn // 255 + 64
     buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4s_compress_block(data, len(data), buf, cap, mini_match)
+    n = _lib.qz_lz4s_compress_block(p, dn, buf, cap, mini_match)
     if n < 0:
         raise ValueError("lz4s compress failed")
     return buf.raw[:n]
@@ -130,7 +164,8 @@ def lz4s_compress_block(data: bytes, mini_match: int = 3) -> bytes:
 def lz4_decompress_block(block: bytes, max_out: int) -> bytes:
     cap = min(max_out, 1 << 30) if max_out > 0 else 1 << 26
     buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4_decompress_block(block, len(block), buf, cap)
+    p, bn, keep = _addr(block)
+    n = _lib.qz_lz4_decompress_block(p, bn, buf, cap)
     if n < 0:
         raise ValueError("corrupt lz4 block")
     return buf.raw[:n]
@@ -140,7 +175,8 @@ def lz4s_decompress_block(block: bytes, max_out: int,
                           mini_match: int = 3) -> bytes:
     cap = min(max_out, 1 << 30) if max_out > 0 else 1 << 26
     buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4s_decompress_block(block, len(block), buf, cap, mini_match)
+    p, bn, keep = _addr(block)
+    n = _lib.qz_lz4s_decompress_block(p, bn, buf, cap, mini_match)
     if n < 0:
         raise ValueError("corrupt lz4s block")
     return buf.raw[:n]
@@ -150,22 +186,25 @@ def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
     return _lib.qz_crc32_combine(crc1 & 0xFFFFFFFF, crc2 & 0xFFFFFFFF, len2)
 
 
-def deflate_compress(data: bytes, level: int = 1) -> bytes:
+def deflate_compress(data, level: int = 1) -> bytes:
     """Raw-deflate compress (complete stream, BFINAL set)."""
-    cap = len(data) + (len(data) >> 3) + 1024
+    p, dn, keep = _addr(data)
+    cap = dn + (dn >> 3) + 1024
     buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_deflate_compress(data, len(data), buf, cap, level)
+    n = _lib.qz_deflate_compress(p, dn, buf, cap, level)
     if n < 0:
         raise ValueError("deflate compress failed")
     return buf.raw[:n]
 
 
-def crc32(data: bytes, crc: int = 0) -> int:
-    return _lib.qz_crc32(crc & 0xFFFFFFFF, data, len(data))
+def crc32(data, crc: int = 0) -> int:
+    p, n, keep = _addr(data)
+    return _lib.qz_crc32(crc & 0xFFFFFFFF, p, n)
 
 
-def adler32(data: bytes, adler: int = 1) -> int:
-    return _lib.qz_adler32(adler & 0xFFFFFFFF, data, len(data))
+def adler32(data, adler: int = 1) -> int:
+    p, n, keep = _addr(data)
+    return _lib.qz_adler32(adler & 0xFFFFFFFF, p, n)
 
 
 def adler32_combine(a1: int, a2: int, len2: int) -> int:
@@ -175,23 +214,25 @@ def adler32_combine(a1: int, a2: int, len2: int) -> int:
 def crc_generic(data: bytes, poly: int, init: int, width: int,
                 reflect_in: bool, reflect_out: bool, xor_out: int) -> int:
     """Rocksoft-model CRC, width 8..64 (session-configurable CRC32/CRC64)."""
-    return _lib.qz_crc_generic(data, len(data), poly, init, width,
+    p, n, keep = _addr(data)
+    return _lib.qz_crc_generic(p, n, poly, init, width,
                                int(reflect_in), int(reflect_out), xor_out)
 
 
-def batch_deflate_compress(data: bytes, chunk_sz: int, level: int,
+def batch_deflate_compress(data, chunk_sz: int, level: int,
                            fmt_code: int, ck_kind: int) -> tuple[bytes, int]:
     """Whole-request compress: chunk, deflate, frame, checksum, reassemble —
     one native call on a worker pool.  Returns (framed_bytes, combined_crc).
+    Accepts any contiguous bytes-like object zero-copy (pinned path).
     """
-    n = len(data)
+    p, n, keep = _addr(data)
     nchunks = (n + chunk_sz - 1) // chunk_sz
     slot = (_BATCH_HDR[fmt_code] + _BATCH_FTR[fmt_code]
             + chunk_sz + (chunk_sz >> 3) + 1024)
     cap = nchunks * slot
     buf = ctypes.create_string_buffer(cap)
     crc = ctypes.c_uint32(0)
-    total = _lib.qz_batch_deflate_compress(data, n, chunk_sz, level, fmt_code,
+    total = _lib.qz_batch_deflate_compress(p, n, chunk_sz, level, fmt_code,
                                            ck_kind, buf, cap, slot,
                                            ctypes.byref(crc))
     if total < 0:
@@ -199,7 +240,7 @@ def batch_deflate_compress(data: bytes, chunk_sz: int, level: int,
     return buf.raw[:total], crc.value
 
 
-def batch_inflate(comp: bytes, offs: list[int], plens: list[int],
+def batch_inflate(comp, offs: list[int], plens: list[int],
                   hints: list[int], expected: list[int],
                   ck_kind: int) -> tuple[bytes, int, bool]:
     """Batch-inflate independent members at known output sizes.
@@ -217,7 +258,8 @@ def batch_inflate(comp: bytes, offs: list[int], plens: list[int],
     arr = ctypes.c_int64 * nm
     crc = ctypes.c_uint32(0)
     eof = ctypes.c_int32(0)
-    total = _lib.qz_batch_inflate(comp, arr(*offs), arr(*plens),
+    cp, _cn, keep = _addr(comp)
+    total = _lib.qz_batch_inflate(cp, arr(*offs), arr(*plens),
                                   arr(*out_offs), arr(*hints), arr(*expected),
                                   nm, ck_kind, buf, ctypes.byref(crc),
                                   ctypes.byref(eof))
@@ -261,7 +303,7 @@ def huff_build_batch(freq_ll, freq_d, blk_len, allow_dynamic: bool,
     return mode, ll_len, ll_code, d_len, d_code, hv, hn, est
 
 
-def inflate(data: bytes, max_out: int) -> tuple[bytes, int, bool]:
+def inflate(data, max_out: int) -> tuple[bytes, int, bool]:
     """Inflate one raw-deflate stream.
 
     Returns (output, compressed_bytes_consumed, reached_final_block).
@@ -272,7 +314,8 @@ def inflate(data: bytes, max_out: int) -> tuple[bytes, int, bool]:
     buf = ctypes.create_string_buffer(cap)
     used = ctypes.c_int64(0)
     eof = ctypes.c_int32(0)
-    n = _lib.qz_inflate(data, len(data), buf, cap,
+    p, dn, keep = _addr(data)
+    n = _lib.qz_inflate(p, dn, buf, cap,
                         ctypes.byref(used), ctypes.byref(eof))
     if n == -2:
         raise OverflowError("inflate output exceeds max_out")

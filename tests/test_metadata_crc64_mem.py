@@ -280,3 +280,35 @@ def test_crc64_zero_running_value_not_treated_as_fresh():
     r1 = qz.qz_compress_crc64(sess, a)
     r2 = qz.qz_compress_crc64(sess, b, crc64=r1.crc)
     assert r2.crc == ck.crc64(a + b, cfg)
+
+
+def test_zero_copy_pinned_path(corpus_factory):
+    """qz_malloc buffers and memoryview slices must flow through the
+    funnels without a bytes() copy and with correct results; qz_get_status
+    must report registered pinned memory (reference
+    src/qatzip_utils.c:1350-1427, qzGetStatus memory fields)."""
+    import numpy as np
+
+    import qatzip_tpu as qz
+
+    data = corpus_factory(100_000)
+    buf = qz.qz_malloc(len(data))
+    buf[:] = data
+    st = qz.qz_get_status()
+    assert st.memory_alloced >= len(data)
+    assert st.qat_mem_drvr >= 1
+    assert qz.qz_mem_find_addr(buf) == 1
+
+    # bytearray (pinned) straight through compress
+    comp = qz.compress(buf, "deflate", sw_only=True)
+    assert qz.decompress(comp, "deflate", sw_only=True) == data
+    # memoryview slice (no copy) + numpy array
+    mv = memoryview(buf)[1000:51000]
+    comp2 = qz.compress(mv, "deflate", sw_only=True)
+    assert qz.decompress(bytearray(comp2), "deflate", sw_only=True) == data[1000:51000]
+    arr = np.frombuffer(data, np.uint8)
+    comp3 = qz.compress(arr, "deflate", sw_only=True)
+    assert qz.decompress(np.frombuffer(comp3, np.uint8), "deflate",
+                         sw_only=True) == data
+    qz.qz_free(buf)
+    assert qz.qz_mem_find_addr(buf) == 0
