@@ -237,6 +237,82 @@ class Lz4DeviceCodec:
         return out
 
 
+    def decompress_chunks(self, payloads, hints, params):
+        """Device LZ4/LZ4s decompress (ops/lz4_decode.py): frame-block walk
+        on host, batched speculative token decode on device, per-block CPU
+        failover for constructs the kernel flags (the decompOutSWFallback
+        behavior, reference src/qatzip_sw.c:792-846).  Reference HW LZ4
+        decompress: src/qatzip.c:2103-2355."""
+        import struct as _struct
+
+        from qatzip_tpu.engine.lz4_block import (lz4_block_decompress,
+                                                 lz4s_block_decompress)
+        from qatzip_tpu.ops import lz4_decode
+
+        is_lz4s = params.data_fmt == DataFormatInternal.LZ4S_BK
+        mini = params.lz4s_mini_match if is_lz4s else None
+
+        # collect every compressed block across the chunk batch; stored
+        # frame blocks copy through untouched
+        plan = []       # per chunk: list of ("raw", bytes) | ("blk", idx)
+        blocks: list[bytes] = []
+        for payload in payloads:
+            pv = memoryview(payload)
+            items = []
+            if is_lz4s:
+                items.append(("blk", len(blocks)))
+                blocks.append(bytes(pv))
+            else:
+                off = 0
+                while off + 4 <= len(pv):
+                    (bsz,) = _struct.unpack_from("<I", pv, off)
+                    off += 4
+                    if bsz == 0:
+                        break
+                    stored = bool(bsz & 0x80000000)
+                    bsz &= 0x7FFFFFFF
+                    blk = bytes(pv[off:off + bsz])
+                    off += bsz
+                    if stored:
+                        items.append(("raw", blk))
+                    else:
+                        items.append(("blk", len(blocks)))
+                        blocks.append(blk)
+            plan.append(items)
+
+        decoded = []
+        ran_device = False
+        if blocks:
+            try:
+                decoded = lz4_decode.decode_blocks(blocks, mini_match=mini)
+                ran_device = True
+            except Exception:
+                health.record_failure()
+                decoded = [None] * len(blocks)
+        ok_any = any(d is not None for d in decoded)
+        if ran_device and ok_any:
+            health.record_success()
+
+        out: list[DecompressedChunk] = []
+        for payload, hint, items in zip(payloads, hints, plan):
+            data = bytearray()
+            for kind_i, v in items:
+                if kind_i == "raw":
+                    data += v
+                    continue
+                d = decoded[v] if decoded else None
+                if d is None:
+                    maxo = hint if hint and hint > 0 else 1 << 22
+                    d = (lz4s_block_decompress(blocks[v], maxo, mini)
+                         if is_lz4s else
+                         lz4_block_decompress(blocks[v], maxo))
+                data += d
+            data = bytes(data)
+            out.append(DecompressedChunk(data, _chunk_checksum(data, params),
+                                         True))
+        return out
+
+
 def _lz4_analyze(data, lengths, depth: int, kwords: int):
     """Device K1 with LZ4 parse rules; returns packed (mlen<<15|dist)
     per-position records for the host assembler."""
@@ -298,3 +374,5 @@ def register_all() -> None:
     lz4 = Lz4DeviceCodec()
     registry.register(DataFormatInternal.LZ4_FH, "compress", lz4)
     registry.register(DataFormatInternal.LZ4S_BK, "compress", lz4)
+    registry.register(DataFormatInternal.LZ4_FH, "decompress", lz4)
+    registry.register(DataFormatInternal.LZ4S_BK, "decompress", lz4)
