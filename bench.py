@@ -65,6 +65,15 @@ def _calibrate_device(detail: dict, timeout_s: int) -> None:
         rec = devcal.calibrate()
         detail["device_comp_GBps"] = round(rec["dev_comp_gbps"], 4)
         detail["device_decomp_GBps"] = round(rec["dev_decomp_gbps"], 4)
+        # compute-only throughput per chip (the hybrid K1 match-finder on
+        # real silicon, true-sync) — separated because a tunnel-attached
+        # host's D2H wall is environmental, the chip's compute is not
+        detail["device_comp_compute_GBps"] = round(
+            rec.get("dev_comp_compute_gbps", 0.0), 4)
+        detail["cpu_comp_GBps"] = round(rec.get("cpu_comp_gbps", 0.0), 4)
+        detail["device_compute_beats_cpu_funnel"] = bool(
+            rec.get("dev_comp_compute_gbps", 0.0)
+            > rec.get("cpu_comp_gbps", 0.0))
         detail["device_wins"] = [bool(rec["comp_device_wins"]),
                                  bool(rec["decomp_device_wins"])]
     except Exception as exc:  # timeout / no device: report, don't fail

@@ -132,6 +132,36 @@ def calibrate(sample_bytes: int = 2 << 20, level: int = 1,
         rec["device_error"] = repr(exc)
         rec["dev_comp_gbps"] = 0.0
         rec["dev_decomp_gbps"] = 0.0
+    # Device COMPUTE throughput, separated from the host-interconnect wall:
+    # the routing decision uses end-to-end numbers above, but the per-chip
+    # capability claim must not be hidden by a tunnel-attached host's D2H
+    # (true-sync via a tiny readback; block_until_ready alone can return
+    # early on this platform — PERF.md).
+    try:
+        import jax.numpy as jnp
+
+        from qatzip_tpu.ops import match_finder as mf
+
+        B = len(chunks)
+        arr = np.zeros((B, n + 8), np.uint8)
+        lens = np.zeros((B,), np.int32)
+        for i, c in enumerate(chunks):
+            arr[i, : len(c)] = np.frombuffer(c, np.uint8)
+            lens[i] = len(c)
+        dj = jnp.asarray(arr)
+        lj = jnp.asarray(lens)
+        cand = mf.find_candidates(dj, lj)
+        np.asarray(cand[0, :8])  # sync
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            cand = mf.find_candidates(dj, lj)
+        np.asarray(cand[0, :8])
+        rec["dev_comp_compute_gbps"] = (
+            sample_bytes * reps / (time.perf_counter() - t0) / 1e9)
+    except Exception as exc:
+        rec["compute_probe_error"] = repr(exc)[:160]
+        rec["dev_comp_compute_gbps"] = 0.0
     rec["comp_device_wins"] = rec["dev_comp_gbps"] > rec["cpu_comp_gbps"]
     rec["decomp_device_wins"] = (rec["dev_decomp_gbps"]
                                  > rec["cpu_decomp_gbps"])

@@ -33,6 +33,10 @@ _lib.qz_deflate_compress.restype = ctypes.c_int64
 _lib.qz_deflate_compress.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int]
+_lib.qz_deflate_candidates.restype = ctypes.c_int64
+_lib.qz_deflate_candidates.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64, ctypes.c_int]
 _lib.qz_inflate.restype = ctypes.c_int64
 _lib.qz_inflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                             ctypes.c_void_p, ctypes.c_int64,
@@ -194,6 +198,25 @@ def deflate_compress(data, level: int = 1) -> bytes:
     n = _lib.qz_deflate_compress(p, dn, buf, cap, level)
     if n < 0:
         raise ValueError("deflate compress failed")
+    return buf.raw[:n]
+
+
+def deflate_candidates(data, cand_u16, level: int = 1) -> bytes:
+    """Hybrid deflate: device-found candidate distances -> native verify/
+    extend/parse/entropy-code (qz_deflate_candidates in qzdeflate.cpp)."""
+    import numpy as np
+
+    p, dn, keep = _addr(data)
+    cand = np.ascontiguousarray(cand_u16, np.uint16)
+    if cand.size < dn:
+        raise ValueError("candidate array shorter than data")
+    cap = dn + (dn >> 3) + 1024
+    buf = ctypes.create_string_buffer(cap)
+    n = _lib.qz_deflate_candidates(p, dn,
+                                   cand.ctypes.data_as(ctypes.c_void_p),
+                                   buf, cap, level)
+    if n < 0:
+        raise ValueError("deflate_candidates failed")
     return buf.raw[:n]
 
 

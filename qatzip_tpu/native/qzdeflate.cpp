@@ -634,6 +634,72 @@ int64_t zlib_deflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
 
 extern "C" {
 
+// Hybrid path: the device match-finder (ops/match_finder.py) supplies a
+// per-position candidate distance (uint16, 0 = none, 3-or-4-byte prefix
+// verified device-side); this routine re-verifies and EXTENDS each match
+// by direct byte compare, runs the greedy(+lazy) parse, and entropy-codes
+// with the same block emitter as the pure-host path.  This is the QAT
+// split with roles swapped: the TPU plays the search ASIC, the host plays
+// the driver's assembly stage (reference src/qatzip.c:1483-1764).
+int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
+                              const uint16_t* cand, uint8_t* dst,
+                              int64_t cap, int level) {
+    BitWriter bw(dst, cap);
+    if (n == 0) {
+        bw.put(1 | (1 << 1), 3);
+        bw.put(g_static.ll_code[256], g_static.ll_len[256]);
+        return bw.finish(dst);
+    }
+    constexpr int64_t BLOCK = 1 << 14;
+    const int64_t ntok_cap = BLOCK + 16;
+    Scratch& sc = g_scratch;
+    if (!sc.ensure(n, ntok_cap, false)) return -1;
+    uint32_t* tokens = sc.tokens;
+    const bool lazy = level >= 4;
+    const int64_t match_pos_limit = n - 12 > 0 ? n - 12 : 0;
+    int64_t pos = 0, blk_start = 0, ntok = 0;
+    bool ok = true;
+
+    auto try_match = [&](int64_t p, uint32_t* dist_out) -> int {
+        if (p >= match_pos_limit) return 0;
+        uint32_t d = cand[p];
+        if (!d || (int64_t)d > p) return 0;
+        int maxl = (int)(n - 8 - p < 258 ? n - 8 - p : 258);
+        if (maxl < 3) return 0;
+        int l = match_len(src + p, src + p - d, maxl);
+        if (l < 3 || (l == 3 && d > 4096)) return 0;
+        *dist_out = d;
+        return l;
+    };
+
+    while (pos < n && ok) {
+        uint32_t dist = 0;
+        int len = try_match(pos, &dist);
+        if (len >= 3 && lazy && ntok < ntok_cap - 8) {
+            uint32_t d2 = 0;
+            int l2 = try_match(pos + 1, &d2);
+            if (l2 > len) {  // defer: literal now, longer match at pos+1
+                tokens[ntok++] = src[pos++];
+                len = l2;
+                dist = d2;
+            }
+        }
+        if (len >= 3) {
+            tokens[ntok++] = TOK_MATCH | ((uint32_t)len << 16) | (dist - 1);
+            pos += len;
+        } else {
+            tokens[ntok++] = src[pos++];
+        }
+        if (ntok >= BLOCK || pos >= n) {
+            ok = emit_block(bw, tokens, ntok, src, blk_start, pos, pos >= n);
+            blk_start = pos;
+            ntok = 0;
+        }
+    }
+    if (!ok) return -1;
+    return bw.finish(dst);
+}
+
 // Compress src[0..n) into a complete raw-deflate stream (final block has
 // BFINAL=1).  level 1..9.  Returns bytes written or -1 (insufficient cap).
 int64_t qz_deflate_compress(const uint8_t* src, int64_t n, uint8_t* dst,

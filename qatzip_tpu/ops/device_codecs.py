@@ -47,6 +47,90 @@ class DeflateDeviceCodec:
 
     def compress_chunks(self, chunks: Sequence[bytes],
                         params: InternalParams) -> list[CompressedChunk]:
+        import os
+
+        if os.environ.get("QATZIP_TPU_ENCODER", "hybrid") == "hybrid":
+            return self._compress_hybrid(chunks, params)
+        return self._compress_full_device(chunks, params)
+
+    def _compress_hybrid(self, chunks: Sequence[bytes],
+                         params: InternalParams) -> list[CompressedChunk]:
+        """Hybrid fast path: the device runs the sort-based LZ77 candidate
+        search (ops/match_finder.py, the ASIC role) and the native host
+        verifies/extends/entropy-codes (qz_deflate_candidates).  Measured
+        on the target chip: 6.7 ms per 2 MB of device compute (~314 MB/s)
+        vs the 147 MB/s CPU funnel, with compressed size <= zlib at the
+        same level (tools/bench_hybrid.py).  The reference splits work the
+        same way between the ASIC search engine and the driver assembly
+        (src/qatzip.c:1483-1764)."""
+        import numpy as np
+
+        from qatzip_tpu.native import qzcore as native
+        from qatzip_tpu.ops import deflate_encode as de
+        from qatzip_tpu.ops import match_finder as mf
+        from qatzip_tpu.parallel.shard import local_mesh
+
+        n = params.hw_buff_sz
+        depth, _ = de.level_params(params.comp_lvl)
+        mesh = local_mesh()
+        ndev = mesh.devices.size if mesh is not None else 1
+
+        bsz = self.MAX_BATCH
+        if mesh is not None and len(chunks) >= 2 * ndev:
+            bsz = max(ndev, (min(len(chunks), self.MAX_BATCH * ndev)
+                             // ndev) * ndev)
+        else:
+            mesh = None
+
+        # submit-all-then-assemble: batch k+1's device dispatch overlaps
+        # batch k's host assembly (the doCompressIn/Out overlap)
+        pending: list[tuple] = []
+        for start in range(0, len(chunks), bsz):
+            batch = list(chunks[start:start + bsz])
+            try:
+                b = 1 if len(batch) == 1 else bsz
+                data = np.zeros((b, n + 8), np.uint8)
+                lens = np.zeros((b,), np.int32)
+                for i, c in enumerate(batch):
+                    if len(c) > n:
+                        raise ValueError("chunk exceeds hw_buff_sz")
+                    data[i, :len(c)] = np.frombuffer(c, np.uint8)
+                    lens[i] = len(c)
+                import jax
+                import jax.numpy as jnp
+                dj = jnp.asarray(data)
+                lj = jnp.asarray(lens)
+                if mesh is not None and b >= ndev:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    dj = jax.device_put(dj, NamedSharding(mesh, P("block", None)))
+                    lj = jax.device_put(lj, NamedSharding(mesh, P("block")))
+                cand = mf.find_candidates(dj, lj, depth)
+                pending.append((batch, cand))
+            except Exception:
+                health.record_failure()
+                pending.append((batch, None))
+
+        out: list[CompressedChunk] = []
+        for batch, cand in pending:
+            if cand is None:
+                out.extend(_cpu_compress_batch(batch, params))
+                continue
+            try:
+                cand_np = np.asarray(cand)
+            except Exception:
+                health.record_failure()
+                out.extend(_cpu_compress_batch(batch, params))
+                continue
+            health.record_success()
+            for i, c in enumerate(batch):
+                payload = native.deflate_candidates(c, cand_np[i],
+                                                    params.comp_lvl)
+                out.append(CompressedChunk(payload, _chunk_checksum(c, params),
+                                           len(c)))
+        return out
+
+    def _compress_full_device(self, chunks: Sequence[bytes],
+                              params: InternalParams) -> list[CompressedChunk]:
         from qatzip_tpu.ops import deflate_encode as de
 
         n = params.hw_buff_sz

@@ -1,0 +1,119 @@
+"""K1 v2: sort-based LZ77 candidate finder (the device half of the hybrid
+deflate pipeline).
+
+True-sync device measurements (tools/probe_true.py, PERF.md) show this
+platform's only fast primitives are sorts (~1.6 ns/elem, payload operands
+~0.25 ns/elem), elementwise chains, cumulative scans, and one-hot MXU
+matmuls — every gather/scatter form costs ~10 ns/elem regardless of
+source width.  The v1 encoder's parse/walk stages were gather-bound; this
+finder is built from exactly two sorts plus elementwise ops and hands the
+per-position candidate distances to the native parser
+(qz_deflate_candidates in native/qzdeflate.cpp), which verifies and
+extends matches by direct byte compare — the reference's split between
+the ASIC search engine and the driver (src/qatzip.c:1483-1764) with the
+TPU playing the search engine.
+
+Pipeline per 64KB block (batched [B, n]):
+  1. 3-byte hash keys  key1 = h15 << 16 | pos16   (elementwise)
+  2. sort1 by key1 carrying the 4-byte prefix word b4 as payload
+  3. candidate select: for chain depth dd=1..DEPTH the dd-back sorted
+     neighbour with equal hash is a candidate at distance
+     pos - cand_pos; prefix length (3/4) from payload word compares —
+     all shifts/compares in sorted order, no random access
+  4. sort2 by pos to unscramble, payload = chosen distance
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_U32 = jnp.uint32
+_INVALID = jnp.uint32(0xFFFFFFFF)
+
+DEPTH = 4          # hash-chain depth (level->depth map lives in caller)
+TOO_FAR = 4096     # len-3 matches beyond this distance are not worth bits
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
+                    depth: int = DEPTH) -> jnp.ndarray:
+    """data: uint8[B, n+8] zero-padded, n <= 65536 pow2; lengths: int32[B].
+
+    Returns uint16[B, n]: per-position candidate distance (0 = none).
+    Candidates are verified to a 3- or 4-byte prefix only — the native
+    parser re-verifies and extends to the exact length.
+    """
+    B = data.shape[0]
+    n = data.shape[1] - 8
+    d32 = data.astype(_U32)
+    b4 = (d32[:, 0:n] | (d32[:, 1:n + 1] << 8)
+          | (d32[:, 2:n + 2] << 16) | (d32[:, 3:n + 3] << 24))
+    b3 = b4 & _U32(0xFFFFFF)
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    L = lengths[:, None]
+
+    # second prefix word (bytes 4..7) rides the sort too, so candidates
+    # rank by verified 8-byte prefix — greedy-nearest alone picks short
+    # matches on repetitive text and loses to zlib's best-of-chain walk
+    b4b = jnp.concatenate([b4[:, 4:], jnp.zeros((B, 4), _U32)], axis=-1)
+
+    h = (b3 * _U32(2654435761)) >> _U32(17)          # 15-bit 3-gram hash
+    valid = pos + 2 < L
+    key1 = jnp.where(valid, (h << _U32(16)) | pos.astype(_U32), _INVALID)
+    sk, sb4, sb4b = jax.lax.sort((key1, b4, b4b), num_keys=1, is_stable=True)
+
+    cur_pos = (sk & _U32(0xFFFF)).astype(jnp.int32)
+    cur_h = sk >> _U32(16)
+    cur_ok = sk != _INVALID
+
+    def shift_right(a, k, fill):
+        pad = jnp.full((B, k), fill, a.dtype)
+        return jnp.concatenate([pad, a[:, :-k]], axis=-1)
+
+    best8 = jnp.zeros((B, n), jnp.int32)   # nearest dist, 8-byte prefix
+    best4 = jnp.zeros((B, n), jnp.int32)   # nearest dist, 4-byte prefix
+    best3 = jnp.zeros((B, n), jnp.int32)   # nearest dist, 3-byte prefix
+    for dd in range(1, depth + 1):
+        ck = shift_right(sk, dd, _INVALID)
+        cb4 = shift_right(sb4, dd, _U32(0))
+        cb4b = shift_right(sb4b, dd, _U32(0))
+        cpos = (ck & _U32(0xFFFF)).astype(jnp.int32)
+        dist = cur_pos - cpos
+        ok = (cur_ok & (ck != _INVALID) & ((ck >> _U32(16)) == cur_h)
+              & (dist >= 1) & (dist <= 32767))
+        eq4 = ok & (cb4 == sb4)
+        eq8 = eq4 & (cb4b == sb4b)
+        eq3 = ok & (((cb4 ^ sb4) & _U32(0xFFFFFF)) == 0)
+        # nearest-first within each rank (dd ascends by recency in a chain)
+        best8 = jnp.where((best8 == 0) & eq8, dist, best8)
+        best4 = jnp.where((best4 == 0) & eq4, dist, best4)
+        best3 = jnp.where((best3 == 0) & eq3, dist, best3)
+
+    best3 = jnp.where(best3 < TOO_FAR, best3, 0)
+    dist_sorted = jnp.where(best8 > 0, best8,
+                            jnp.where(best4 > 0, best4, best3))
+
+    # unscramble: key2 = pos<<16 keeps sorted row i aligned with position i
+    key2 = jnp.where(cur_ok, (cur_pos.astype(_U32) << _U32(16)), _INVALID)
+    _, dist_pos = jax.lax.sort((key2, dist_sorted.astype(_U32)), num_keys=1,
+                               is_stable=True)
+    return dist_pos.astype(jnp.uint16)
+
+
+def find_candidates_batch(data_np: np.ndarray, lengths_np: np.ndarray,
+                          depth: int = DEPTH, mesh=None) -> np.ndarray:
+    """Host wrapper: upload, run, return uint16[B, n] distances.
+
+    With ``mesh`` the batch axis shards block-DP over the local device
+    mesh (the request-level parallelism axis, SURVEY §2.3)."""
+    dj = jnp.asarray(data_np)
+    lj = jnp.asarray(lengths_np)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dj = jax.device_put(dj, NamedSharding(mesh, P("block", None)))
+        lj = jax.device_put(lj, NamedSharding(mesh, P("block")))
+    return np.asarray(find_candidates(dj, lj, depth))

@@ -54,10 +54,10 @@ def test_per_batch_compress_failover(monkeypatch, corpus_factory):
     only; output stays valid end-to-end."""
     monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
     from qatzip_tpu.engine.health import health
-    from qatzip_tpu.ops import deflate_encode as de
+    from qatzip_tpu.ops import match_finder as mf
 
     calls = {"n": 0}
-    real = de.encode_blocks
+    real = mf.find_candidates
 
     def flaky(*a, **kw):
         calls["n"] += 1
@@ -65,7 +65,7 @@ def test_per_batch_compress_failover(monkeypatch, corpus_factory):
             raise RuntimeError("injected device failure")
         return real(*a, **kw)
 
-    monkeypatch.setattr(de, "encode_blocks", flaky)
+    monkeypatch.setattr(mf, "find_candidates", flaky)
     data = corpus_factory(200_000, "text")
     comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
                        level=1, hw_buff_sz=4096)
