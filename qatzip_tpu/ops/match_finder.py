@@ -37,15 +37,34 @@ DEPTH = 4          # hash-chain depth (level->depth map lives in caller)
 TOO_FAR = 4096     # len-3 matches beyond this distance are not worth bits
 
 
-@functools.partial(jax.jit, static_argnames=("depth",))
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
-                    depth: int = DEPTH) -> jnp.ndarray:
+                    depth: int = DEPTH,
+                    use_pallas: bool | None = None) -> jnp.ndarray:
     """data: uint8[B, n+8] zero-padded, n <= 65536 pow2; lengths: int32[B].
 
     Returns uint16[B, n]: per-position candidate distance (0 = none).
-    Candidates are verified to a 3- or 4-byte prefix only — the native
+    Candidates are verified to a 3-/4-/8-byte prefix only — the native
     parser re-verifies and extends to the exact length.
+
+    The candidate-select stage runs as a Pallas VMEM kernel on TPU
+    (ops/pallas_select.py); the XLA path below is the reference
+    implementation and the non-TPU fallback.
     """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    return _find_candidates_impl(data, lengths, depth, bool(use_pallas))
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "use_pallas"))
+def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
+                          depth: int, use_pallas: bool) -> jnp.ndarray:
     B = data.shape[0]
     n = data.shape[1] - 8
     d32 = data.astype(_U32)
@@ -66,35 +85,41 @@ def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
     sk, sb4, sb4b = jax.lax.sort((key1, b4, b4b), num_keys=1, is_stable=True)
 
     cur_pos = (sk & _U32(0xFFFF)).astype(jnp.int32)
-    cur_h = sk >> _U32(16)
     cur_ok = sk != _INVALID
 
-    def shift_right(a, k, fill):
-        pad = jnp.full((B, k), fill, a.dtype)
-        return jnp.concatenate([pad, a[:, :-k]], axis=-1)
+    if use_pallas and n % 1024 == 0:
+        from qatzip_tpu.ops import pallas_select
 
-    best8 = jnp.zeros((B, n), jnp.int32)   # nearest dist, 8-byte prefix
-    best4 = jnp.zeros((B, n), jnp.int32)   # nearest dist, 4-byte prefix
-    best3 = jnp.zeros((B, n), jnp.int32)   # nearest dist, 3-byte prefix
-    for dd in range(1, depth + 1):
-        ck = shift_right(sk, dd, _INVALID)
-        cb4 = shift_right(sb4, dd, _U32(0))
-        cb4b = shift_right(sb4b, dd, _U32(0))
-        cpos = (ck & _U32(0xFFFF)).astype(jnp.int32)
-        dist = cur_pos - cpos
-        ok = (cur_ok & (ck != _INVALID) & ((ck >> _U32(16)) == cur_h)
-              & (dist >= 1) & (dist <= 32767))
-        eq4 = ok & (cb4 == sb4)
-        eq8 = eq4 & (cb4b == sb4b)
-        eq3 = ok & (((cb4 ^ sb4) & _U32(0xFFFFFF)) == 0)
-        # nearest-first within each rank (dd ascends by recency in a chain)
-        best8 = jnp.where((best8 == 0) & eq8, dist, best8)
-        best4 = jnp.where((best4 == 0) & eq4, dist, best4)
-        best3 = jnp.where((best3 == 0) & eq3, dist, best3)
+        dist_sorted = pallas_select.select_candidates(sk, sb4, sb4b, depth)
+    else:
+        cur_h = sk >> _U32(16)
 
-    best3 = jnp.where(best3 < TOO_FAR, best3, 0)
-    dist_sorted = jnp.where(best8 > 0, best8,
-                            jnp.where(best4 > 0, best4, best3))
+        def shift_right(a, k, fill):
+            pad = jnp.full((B, k), fill, a.dtype)
+            return jnp.concatenate([pad, a[:, :-k]], axis=-1)
+
+        best8 = jnp.zeros((B, n), jnp.int32)   # nearest, 8-byte prefix
+        best4 = jnp.zeros((B, n), jnp.int32)   # nearest, 4-byte prefix
+        best3 = jnp.zeros((B, n), jnp.int32)   # nearest, 3-byte prefix
+        for dd in range(1, depth + 1):
+            ck = shift_right(sk, dd, _INVALID)
+            cb4 = shift_right(sb4, dd, _U32(0))
+            cb4b = shift_right(sb4b, dd, _U32(0))
+            cpos = (ck & _U32(0xFFFF)).astype(jnp.int32)
+            dist = cur_pos - cpos
+            ok = (cur_ok & (ck != _INVALID) & ((ck >> _U32(16)) == cur_h)
+                  & (dist >= 1) & (dist <= 32767))
+            eq4 = ok & (cb4 == sb4)
+            eq8 = eq4 & (cb4b == sb4b)
+            eq3 = ok & (((cb4 ^ sb4) & _U32(0xFFFFFF)) == 0)
+            # nearest-first within rank (dd ascends by recency in a chain)
+            best8 = jnp.where((best8 == 0) & eq8, dist, best8)
+            best4 = jnp.where((best4 == 0) & eq4, dist, best4)
+            best3 = jnp.where((best3 == 0) & eq3, dist, best3)
+
+        best3 = jnp.where(best3 < TOO_FAR, best3, 0)
+        dist_sorted = jnp.where(best8 > 0, best8,
+                                jnp.where(best4 > 0, best4, best3))
 
     # unscramble: key2 = pos<<16 keeps sorted row i aligned with position i
     key2 = jnp.where(cur_ok, (cur_pos.astype(_U32) << _U32(16)), _INVALID)
