@@ -37,6 +37,8 @@ class TpuBackend(Backend):
             return None
         if not devices:
             return None
+        from qatzip_tpu.engine.instances import pool
+        pool.resize(len(devices))
         return cls(devices)
 
     # -- capability gate ----------------------------------------------------
@@ -45,15 +47,29 @@ class TpuBackend(Backend):
         return registry.supports(params, direction)
 
     # -- dispatch -----------------------------------------------------------
+    # Cross-session multiplexing: concurrent sessions take instance slots
+    # from the bounded pool (qzGrabInstance analog, engine/instances.py);
+    # a saturated pool raises and the engine's failover routes that
+    # request to the CPU instead of piling onto the device queue.
+    GRAB_TIMEOUT_S = 10.0
+
     def compress_chunks(self, chunks: Sequence[bytes],
                         params: InternalParams) -> list[CompressedChunk]:
+        from qatzip_tpu.engine.instances import pool
         from qatzip_tpu.ops import registry
         codec = registry.get_codec(params)
-        return codec.compress_chunks(chunks, params)
+        with pool.instance(timeout=self.GRAB_TIMEOUT_S) as inst:
+            if inst is None:
+                raise RuntimeError("device instance pool saturated")
+            return codec.compress_chunks(chunks, params)
 
     def decompress_chunks(self, payloads: Sequence[bytes],
                           out_size_hints: Sequence[int],
                           params: InternalParams) -> list[DecompressedChunk]:
+        from qatzip_tpu.engine.instances import pool
         from qatzip_tpu.ops import registry
         codec = registry.get_codec(params)
-        return codec.decompress_chunks(payloads, out_size_hints, params)
+        with pool.instance(timeout=self.GRAB_TIMEOUT_S) as inst:
+            if inst is None:
+                raise RuntimeError("device instance pool saturated")
+            return codec.decompress_chunks(payloads, out_size_hints, params)

@@ -155,3 +155,44 @@ def test_probe_slot_expires():
     # timeout the slot must be re-offered
     h._probe_started -= hm.PROBE_TIMEOUT_S + 1
     assert h.healthy()
+
+
+def test_instance_pool_admission():
+    """qzGrabInstance analog: bounded slots, round-robin indices, saturated
+    pool rejects instead of blocking forever (reference src/qatzip.c:363-437)."""
+    from qatzip_tpu.engine.instances import InstancePool
+
+    p = InstancePool(num_devices=2, oversub=1)   # 2 slots
+    a = p.grab()
+    b = p.grab()
+    assert {a, b} == {0, 1}                      # round-robin across devices
+    assert p.grab() is None                      # saturated -> SW route
+    assert p.stats()["busy_rejects"] == 1
+    p.release(a)
+    c = p.grab()
+    assert c is not None
+    p.release(b)
+    p.release(c)
+
+
+def test_concurrent_sessions_multiplex(corpus_factory, monkeypatch):
+    """Two sessions dispatching concurrently share the pool without
+    deadlock and both produce valid output."""
+    import threading
+
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    import qatzip_tpu as qz
+
+    data = corpus_factory(150_000)
+    results = {}
+
+    def run(name):
+        comp = qz.compress(data, "deflate", level=1)
+        results[name] = qz.decompress(comp, "deflate", sw_only=True)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert all(results[i] == data for i in range(4))
