@@ -71,28 +71,34 @@ def compress_blocks_sharded(mesh, data_pad: np.ndarray, lengths: np.ndarray,
 def scaling_report(mesh, block_bytes: int = 65536, blocks_per_device: int = 8,
                    reps: int = 5) -> dict:
     """Scaling-efficiency harness (the run_perf_test.sh analog): measures
-    blocks/s at 1 device vs the full mesh."""
+    the flagship device kernel (the hybrid match-finder) at 1 device vs
+    the full mesh.  True sync via a small readback — block_until_ready can
+    return early on the tunnel platform (PERF.md)."""
     import time
 
-    import jax
-
-    from qatzip_tpu.ops import deflate_encode as de
+    from qatzip_tpu.ops import match_finder as mf
 
     n = block_bytes
     rng = np.random.default_rng(0)
 
     def run(m):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         ndev = m.devices.size
         b = ndev * blocks_per_device
         data = np.zeros((b, n + 8), np.uint8)
         data[:, :n] = rng.integers(0, 256, (b, n), dtype=np.uint8)
         lens = np.full((b,), n, np.int32)
-        out = compress_blocks_sharded(m, data, lens)
-        jax.block_until_ready(out)
+        dj = jax.device_put(jnp.asarray(data), NamedSharding(m, P("block", None)))
+        lj = jax.device_put(jnp.asarray(lens), NamedSharding(m, P("block")))
+        out = mf.find_candidates(dj, lj)
+        np.asarray(out[0, :8])
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = compress_blocks_sharded(m, data, lens)
-        jax.block_until_ready(out)
+            out = mf.find_candidates(dj, lj)
+        np.asarray(out[0, :8])
         dt = (time.perf_counter() - t0) / reps
         return b * n / dt
 

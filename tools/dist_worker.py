@@ -52,6 +52,24 @@ def main():
     print(f"DIST OK rank={pid}/{nproc} bytes={len(data)} comp={len(comp)}",
           flush=True)
 
+    if "--perf" in sys.argv:
+        # per-process throughput loop (run_perf_test.sh column-8 analog):
+        # each rank compresses its share repeatedly; the harness sums Bps
+        import time
+
+        big = data * 8
+        reps = 5
+        dist_engine.compress_distributed(
+            big, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, hw_buff_sz=65536,
+            sw_only=True)
+        t0 = time.time()
+        for _ in range(reps):
+            dist_engine.compress_distributed(
+                big, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, hw_buff_sz=65536,
+                sw_only=True)
+        dt = (time.time() - t0) / reps
+        print(f"DIST PERF rank={pid} Bps={len(big)/dt:.0f}", flush=True)
+
 
 if __name__ == "__main__":
     main()
