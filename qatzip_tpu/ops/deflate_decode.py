@@ -200,8 +200,10 @@ def parse_dynamic_header(br: _Bits) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _ffill_key24(marker, vals):
-    """Forward-fill 24-bit vals from marker positions (uint32 cummax with a
-    20-bit position key riding above two 12-bit value planes)."""
+    """Forward-fill 24-bit vals from marker positions: uint32 cummax over
+    three 8-bit value planes, each packed under a 24-bit position key —
+    supports grid indices to 2^24 (the 20-bit two-plane packing silently
+    lost markers past index 2^20; ADVICE round-2 high finding)."""
     import jax
     import jax.numpy as jnp
 
@@ -209,11 +211,11 @@ def _ffill_key24(marker, vals):
     idx = (jnp.arange(M, dtype=jnp.uint32)[None, :] + 1)
     key = jnp.where(marker, idx, jnp.uint32(0))
     out = jnp.zeros((B, M), jnp.uint32)
-    for plane in range(2):
-        part = (vals >> jnp.uint32(12 * plane)) & jnp.uint32(0xFFF)
-        packed = jnp.where(marker, (key << 12) | part, jnp.uint32(0))
+    for plane in range(3):
+        part = (vals >> jnp.uint32(8 * plane)) & jnp.uint32(0xFF)
+        packed = jnp.where(marker, (key << 8) | part, jnp.uint32(0))
         filled = jax.lax.cummax(packed, axis=1)
-        out = out | ((filled & jnp.uint32(0xFFF)) << jnp.uint32(12 * plane))
+        out = out | ((filled & jnp.uint32(0xFF)) << jnp.uint32(8 * plane))
     return out
 
 
@@ -471,13 +473,11 @@ def inflate_batch(payloads, hints, max_rounds: int = 64,
             s.failed = True
         if hint is not None and hint > MAX_OUTCAP:
             s.failed = True
-        # the chain-resolve grid packs a position key as (idx+1)<<12 in
-        # uint32, so grid indices must stay below 2^20; streams whose
-        # nbits+outcap could exceed that would decode the tail to wrong
-        # bytes — route them to the CPU path instead
-        # mirror _run_device_round's outcap choice for unknown hints (1<<16)
+        # the chain-resolve grid packs a position key in the top 24 bits
+        # of uint32; streams whose nbits+outcap could exceed 2^24 would
+        # decode the tail to wrong bytes — route them to the CPU instead
         cap = int(hint) if (hint is not None and hint > 0) else (1 << 16)
-        if len(s.payload) * 8 + cap >= (1 << 20):
+        if len(s.payload) * 8 + cap >= (1 << 24):
             s.failed = True
         streams.append(s)
 
@@ -568,11 +568,12 @@ def _run_device_round(batch) -> None:
                 for s in batch), 1 << 12), 4096)
     outcap = min(outcap, MAX_OUTCAP)
 
-    # _ffill_key24 packs grid index+1 into the top 20 bits of a uint32;
+    # _ffill_key24 packs grid index+1 into the top 24 bits of a uint32;
     # a round whose sorted record+grid array (nbits + outcap entries) would
     # overflow that key loses markers and corrupts the output tail — fail
-    # the whole round to the CPU path instead
-    if nbits + outcap >= (1 << 20):
+    # the whole round to the CPU path instead (unreachable at current
+    # MAX_PAYLOAD/MAX_OUTCAP: 2^23 + 2^20 < 2^24; kept as a guard)
+    if nbits + outcap >= (1 << 24):
         for s in batch:
             s.failed = True
         return
