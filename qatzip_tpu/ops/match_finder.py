@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 _U32 = jnp.uint32
-_INVALID = jnp.uint32(0xFFFFFFFF)
+_INVALID_V = 0xFFFFFFFF  # materialized lazily: creating a jnp scalar at
+                         # import time would initialize the jax backend
 
 DEPTH = 4          # hash-chain depth (level->depth map lives in caller)
 TOO_FAR = 4096     # len-3 matches beyond this distance are not worth bits
@@ -65,6 +66,7 @@ def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("depth", "use_pallas"))
 def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
                           depth: int, use_pallas: bool) -> jnp.ndarray:
+    _INVALID = _U32(_INVALID_V)
     B = data.shape[0]
     n = data.shape[1] - 8
     d32 = data.astype(_U32)
