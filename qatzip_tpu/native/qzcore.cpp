@@ -454,6 +454,70 @@ uint64_t qz_xxh64(const uint8_t* p, int64_t len, uint64_t seed) {
 // device does the expensive search, the host only shuffles bytes (the
 // split mirrors the deflate pipeline's host Huffman-build stage).
 // mode 0 = LZ4, 1 = LZ4s (terminal literal-only sequence).
+// Hybrid path: device candidate distances (ops/match_finder.py) ->
+// host verify/extend/parse -> LZ4 (mode 0) / LZ4s (mode 1) block bytes.
+// Mirrors the greedy single-probe host compressors (engine/lz4_block.py):
+// matches start only while pos <= n-12 (MFLIMIT), never extend into the
+// final 5 bytes (LASTLITERALS), min match 4.
+int64_t qz_lz4_candidates(const uint8_t* src, int64_t n, const uint16_t* cand,
+                          uint8_t* dst, int64_t cap, int mode,
+                          int mini_match) {
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    const int token_base = (mode == 0) ? MINMATCH : (mini_match - 1);
+    if (n == 0) return 0;
+
+    auto emit = [&](const uint8_t* lit, size_t lit_len, uint32_t offset,
+                    size_t match_len) -> bool {
+        size_t ml_code = match_len == 0 ? 0 : match_len - token_base;
+        uint8_t tok_lit = lit_len >= 15 ? 15 : (uint8_t)lit_len;
+        uint8_t tok_ml = ml_code >= 15 ? 15 : (uint8_t)ml_code;
+        size_t need = 1 + lit_len + 16 + (match_len ? 2 : 0)
+                      + ml_code / 255 + lit_len / 255;
+        if (op + need > oend) return false;
+        if (match_len == 0) {
+            *op++ = (uint8_t)(tok_lit << 4);
+            if (lit_len >= 15) op = write_length(op, lit_len - 15);
+            std::memcpy(op, lit, lit_len);
+            op += lit_len;
+            return true;
+        }
+        *op++ = (uint8_t)((tok_lit << 4) | tok_ml);
+        if (lit_len >= 15) op = write_length(op, lit_len - 15);
+        std::memcpy(op, lit, lit_len);
+        op += lit_len;
+        *op++ = (uint8_t)(offset & 0xFF);
+        *op++ = (uint8_t)(offset >> 8);
+        if (ml_code >= 15) op = write_length(op, ml_code - 15);
+        return true;
+    };
+
+    const int64_t mf_limit = n - 12;      // no match may start past this
+    const int64_t match_limit = n - 5;    // matches never reach the tail
+    int64_t anchor = 0, pos = 0;
+    while (pos <= mf_limit) {
+        uint32_t d = cand[pos];
+        if (d != 0 && (int64_t)d <= pos) {
+            const uint8_t* a = src + pos;
+            const uint8_t* b = src + pos - d;
+            int64_t maxl = match_limit - pos;
+            int64_t l = 0;
+            while (l < maxl && a[l] == b[l]) l++;
+            if (l >= MINMATCH) {
+                if (!emit(src + anchor, (size_t)(pos - anchor), d,
+                          (size_t)l))
+                    return -1;
+                pos += l;
+                anchor = pos;
+                continue;
+            }
+        }
+        pos++;
+    }
+    if (!emit(src + anchor, (size_t)(n - anchor), 0, 0)) return -1;
+    return op - dst;
+}
+
 int64_t qz_lz4_assemble(const uint8_t* src, int64_t n, const int32_t* rec,
                         uint8_t* dst, int64_t cap, int mode,
                         int mini_match) {

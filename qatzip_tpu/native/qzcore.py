@@ -69,6 +69,11 @@ _lib.qz_xxh32.restype = ctypes.c_uint32
 _lib.qz_xxh32.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
 _lib.qz_xxh64.restype = ctypes.c_uint64
 _lib.qz_xxh64.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64]
+_lib.qz_lz4_candidates.restype = ctypes.c_int64
+_lib.qz_lz4_candidates.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int64, ctypes.c_int,
+                                   ctypes.c_int]
 _lib.qz_lz4_assemble.restype = ctypes.c_int64
 _lib.qz_lz4_assemble.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.c_void_p, ctypes.c_void_p,
@@ -143,6 +148,25 @@ def lz4_assemble(data: bytes, rec, mode: int = 0,
     if n < 0:
         raise ValueError("lz4 assembly failed")
     return out.raw[:n]
+
+
+def lz4_candidates(data, cand_u16, mode: int = 0,
+                   mini_match: int = 3) -> bytes:
+    """Hybrid LZ4/LZ4s: device candidate distances -> native verify/extend/
+    parse/emit (qz_lz4_candidates in qzcore.cpp)."""
+    import numpy as np
+
+    p, dn, keep = _addr(data)
+    cand = np.ascontiguousarray(cand_u16, np.uint16)
+    if cand.size < dn:
+        raise ValueError("candidate array shorter than data")
+    cap = dn + dn // 255 + 64
+    buf = ctypes.create_string_buffer(cap)
+    m = _lib.qz_lz4_candidates(p, dn, cand.ctypes.data_as(ctypes.c_void_p),
+                               buf, cap, mode, mini_match)
+    if m < 0:
+        raise ValueError("lz4_candidates failed")
+    return buf.raw[:m]
 
 
 def lz4_compress_block(data) -> bytes:

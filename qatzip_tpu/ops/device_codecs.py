@@ -286,8 +286,17 @@ class Lz4DeviceCodec:
                         raise ValueError("chunk exceeds hw_buff_sz")
                     data[i, :len(c)] = np.frombuffer(c, np.uint8)
                     lens[i] = len(c)
-                rec = _lz4_analyze(jnp.asarray(data), jnp.asarray(lens),
-                                   depth, kwords)
+                import os as _os
+                if _os.environ.get("QATZIP_TPU_ENCODER", "hybrid") == "hybrid":
+                    # hybrid: device candidate search (same flagship kernel
+                    # as deflate), native LZ4 verify/extend/emit
+                    from qatzip_tpu.ops import match_finder as mf
+
+                    rec = ("cand", mf.find_candidates(
+                        jnp.asarray(data), jnp.asarray(lens), depth))
+                else:
+                    rec = ("rec", _lz4_analyze(
+                        jnp.asarray(data), jnp.asarray(lens), depth, kwords))
                 pending.append((batch, rec))
             except Exception:
                 health.record_failure()
@@ -299,14 +308,20 @@ class Lz4DeviceCodec:
                 out.extend(_cpu_compress_batch(batch, params))
                 continue
             try:
-                rec = np.asarray(rec)
+                kind_r, arr = rec
+                arr = np.asarray(arr)
             except Exception:
                 health.record_failure()
                 out.extend(_cpu_compress_batch(batch, params))
                 continue
             health.record_success()
             for i, c in enumerate(batch):
-                payload = native.lz4_assemble(c, rec[i, :len(c)], mode, mini)
+                if kind_r == "cand":
+                    payload = native.lz4_candidates(c, arr[i, :len(c)],
+                                                    mode, mini)
+                else:
+                    payload = native.lz4_assemble(c, arr[i, :len(c)],
+                                                  mode, mini)
                 ckv = _chunk_checksum(c, params)
                 if is_lz4s:
                     out.append(CompressedChunk(payload, ckv, len(c)))
