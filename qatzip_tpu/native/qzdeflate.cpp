@@ -663,13 +663,25 @@ int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
     auto try_match = [&](int64_t p, uint32_t* dist_out) -> int {
         if (p >= match_pos_limit) return 0;
         uint32_t d = cand[p];
-        if (!d || (int64_t)d > p) return 0;
+        // neighbour probe: a candidate at p-1 usually stays aligned one
+        // byte later (recovers coverage when the device indexes sparsely,
+        // QATZIP_TPU_MF_STRIDE>1, and catches near-misses at stride 1)
+        uint32_t d2 = p > 0 ? cand[p - 1] : 0;
         int maxl = (int)(n - 8 - p < 258 ? n - 8 - p : 258);
         if (maxl < 3) return 0;
-        int l = match_len(src + p, src + p - d, maxl);
-        if (l < 3 || (l == 3 && d > 4096)) return 0;
-        *dist_out = d;
-        return l;
+        int best = 0;
+        uint32_t bd = 0;
+        if (d && (int64_t)d <= p) {
+            int l = match_len(src + p, src + p - d, maxl);
+            if (l >= 3) { best = l; bd = d; }
+        }
+        if (d2 && d2 != d && (int64_t)d2 <= p) {
+            int l = match_len(src + p, src + p - d2, maxl);
+            if (l > best) { best = l; bd = d2; }
+        }
+        if (best < 3 || (best == 3 && bd > 4096)) return 0;
+        *dist_out = bd;
+        return best;
     };
 
     while (pos < n && ok) {

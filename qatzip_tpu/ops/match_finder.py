@@ -47,7 +47,8 @@ def _on_tpu() -> bool:
 
 def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
                     depth: int = DEPTH,
-                    use_pallas: bool | None = None) -> jnp.ndarray:
+                    use_pallas: bool | None = None,
+                    stride: int | None = None) -> jnp.ndarray:
     """data: uint8[B, n+8] zero-padded, n <= 65536 pow2; lengths: int32[B].
 
     Returns uint16[B, n]: per-position candidate distance (0 = none).
@@ -60,12 +61,19 @@ def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
-    return _find_candidates_impl(data, lengths, depth, bool(use_pallas))
+    if stride is None:
+        import os
+
+        stride = int(os.environ.get("QATZIP_TPU_MF_STRIDE", "1"))
+    return _find_candidates_impl(data, lengths, depth, bool(use_pallas),
+                                 int(stride))
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("depth", "use_pallas", "stride"))
 def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
-                          depth: int, use_pallas: bool) -> jnp.ndarray:
+                          depth: int, use_pallas: bool,
+                          stride: int = 1) -> jnp.ndarray:
     _INVALID = _U32(_INVALID_V)
     B = data.shape[0]
     n = data.shape[1] - 8
@@ -84,7 +92,20 @@ def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
     h = (b3 * _U32(2654435761)) >> _U32(17)          # 15-bit 3-gram hash
     valid = pos + 2 < L
     key1 = jnp.where(valid, (h << _U32(16)) | pos.astype(_U32), _INVALID)
-    sk, sb4, sb4b = jax.lax.sort((key1, b4, b4b), num_keys=1, is_stable=True)
+    if stride > 1:
+        # QATZIP_TPU_MF_STRIDE: index only every stride-th position — the
+        # sorts (the whole cost) shrink by the same factor; the native
+        # parser's byte-compare extension recovers most of the lost
+        # coverage (zlib's own fast levels insert sparsely the same way)
+        key1 = key1[:, ::stride]
+        b4s_s = b4[:, ::stride]
+        b4bs_s = b4b[:, ::stride]
+        sk, sb4, sb4b = jax.lax.sort((key1, b4s_s, b4bs_s), num_keys=1,
+                                     is_stable=True)
+        n = n // stride
+    else:
+        sk, sb4, sb4b = jax.lax.sort((key1, b4, b4b), num_keys=1,
+                                     is_stable=True)
 
     cur_pos = (sk & _U32(0xFFFF)).astype(jnp.int32)
     cur_ok = sk != _INVALID
@@ -124,9 +145,14 @@ def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
                                 jnp.where(best4 > 0, best4, best3))
 
     # unscramble: key2 = pos<<16 keeps sorted row i aligned with position i
+    # (with stride, sorted row i aligns with position stride*i)
     key2 = jnp.where(cur_ok, (cur_pos.astype(_U32) << _U32(16)), _INVALID)
     _, dist_pos = jax.lax.sort((key2, dist_sorted.astype(_U32)), num_keys=1,
                                is_stable=True)
+    if stride > 1:
+        full = jnp.zeros((B, data.shape[1] - 8), jnp.uint32)
+        full = full.at[:, ::stride].set(dist_pos)  # static-stride update
+        return full.astype(jnp.uint16)
     return dist_pos.astype(jnp.uint16)
 
 

@@ -102,3 +102,32 @@ def test_pallas_select_matches_xla_reference(corpus_factory):
     want = np.asarray(jnp.where(best8 > 0, best8,
                                 jnp.where(best4 > 0, best4, best3)))
     assert (got == want).all()
+
+
+def test_candidates_stride_mode_valid(corpus_factory):
+    """QATZIP_TPU_MF_STRIDE>1 (experimental speed mode) must stay
+    bit-exact even though ratio degrades."""
+    import jax.numpy as jnp
+
+    datas = [corpus_factory(4000, "text")]
+    arr, lens = _pack(datas)
+    cand = np.asarray(mf.find_candidates(jnp.asarray(arr), jnp.asarray(lens),
+                                         stride=2))
+    payload = native.deflate_candidates(datas[0], cand[0], 1)
+    assert zlib.decompress(payload, -15) == datas[0]
+
+
+def test_legacy_full_device_encoder_path(corpus_factory, monkeypatch):
+    """QATZIP_TPU_ENCODER=device keeps the round-1/2 full-device K1/K2
+    pipeline alive and bit-exact."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    monkeypatch.setenv("QATZIP_TPU_ENCODER", "device")
+    import gzip
+
+    import qatzip_tpu as qz
+    from qatzip_tpu.constants import QzDataFormat
+
+    data = corpus_factory(30_000, "text")
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP,
+                       level=1, hw_buff_sz=4096)
+    assert gzip.decompress(comp) == data
