@@ -125,11 +125,18 @@ class DeflateDeviceCodec:
                 out.extend(_cpu_compress_batch(batch, params))
                 continue
             health.record_success()
-            for i, c in enumerate(batch):
+            # host assembly threads across cores (qz_deflate_candidates
+            # releases the GIL and uses thread_local scratch)
+            from qatzip_tpu.engine.cpu_backend import _map_chunks
+
+            def assemble(i_c):
+                i, c = i_c
                 payload = native.deflate_candidates(c, cand_np[i],
                                                     params.comp_lvl)
-                out.append(CompressedChunk(payload, _chunk_checksum(c, params),
-                                           len(c)))
+                return CompressedChunk(payload, _chunk_checksum(c, params),
+                                       len(c))
+
+            out.extend(_map_chunks(assemble, list(enumerate(batch))))
         return out
 
     def _compress_full_device(self, chunks: Sequence[bytes],
@@ -318,7 +325,10 @@ class Lz4DeviceCodec:
                 out.extend(_cpu_compress_batch(batch, params))
                 continue
             health.record_success()
-            for i, c in enumerate(batch):
+            from qatzip_tpu.engine.cpu_backend import _map_chunks
+
+            def assemble(i_c):
+                i, c = i_c
                 if kind_r == "cand":
                     payload = native.lz4_candidates(c, arr[i, :len(c)],
                                                     mode, mini)
@@ -327,15 +337,16 @@ class Lz4DeviceCodec:
                                                   mode, mini)
                 ckv = _chunk_checksum(c, params)
                 if is_lz4s:
-                    out.append(CompressedChunk(payload, ckv, len(c)))
-                    continue
+                    return CompressedChunk(payload, ckv, len(c))
                 # LZ4 frame block section with the stored-block escape
                 if len(payload) >= len(c):
                     blk = gen_lz4_block_header(len(c), stored=True) + c
                 else:
                     blk = gen_lz4_block_header(len(payload),
                                                stored=False) + payload
-                out.append(CompressedChunk(blk, ckv, len(c)))
+                return CompressedChunk(blk, ckv, len(c))
+
+            out.extend(_map_chunks(assemble, list(enumerate(batch))))
         return out
 
 
