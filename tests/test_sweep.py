@@ -32,3 +32,27 @@ def test_boundary_sweep_lz4(kind):
         comp = qz.compress(data, "lz4", hw_buff_sz=16384)
         out = qz.decompress(comp, "lz4", hw_buff_sz=16384)
         assert out == data, f"mismatch at len={n} kind={kind}"
+
+
+def test_device_forced_boundary_sweep(corpus_factory, monkeypatch):
+    """bt.c-style boundary sweep with the device path forced: every length
+    through the hybrid encoder + device-capable decoder must round-trip
+    bit-exact and stay gzip-interoperable (reference test/bt.c:137-165)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    import gzip
+
+    import qatzip_tpu as qz
+    from qatzip_tpu.constants import QzDataFormat
+
+    lengths = [0, 1, 2, 3, 4, 5, 11, 12, 13, 255, 256, 4095, 4096, 4097,
+               8191, 12288]
+    for kind in ("text", "random", "constant"):
+        for n in lengths:
+            data = corpus_factory(n, kind)
+            comp = qz.compress(data, "deflate",
+                               fmt=QzDataFormat.QZ_DEFLATE_GZIP,
+                               level=1, hw_buff_sz=4096)
+            assert qz.decompress(comp, "deflate", hw_buff_sz=4096) == data, \
+                (kind, n)
+            if n:
+                assert gzip.decompress(comp) == data, (kind, n)
