@@ -246,7 +246,9 @@ def decode_blocks(blocks, mini_match: int | None = None):
     if not idxs:
         return results
     n = _next_pow2(max(len(blocks[i]) for i in idxs) + 8, 1024)
-    outcap = min(_next_pow2(4 * n, 4096), MAX_OUT)
+    # high-ratio blocks (RLE-ish) expand far beyond 4x: always allow the
+    # full 128K output so small compressed blocks don't fall back
+    outcap = min(_next_pow2(max(4 * n, MAX_OUT), 4096), MAX_OUT)
     B = len(idxs)
     Bp = ((B + 7) // 8) * 8
     arr = np.zeros((Bp, n), np.uint8)

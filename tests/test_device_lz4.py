@@ -106,3 +106,16 @@ def test_device_lz4_decode_rejects_malformed():
     res = lz4_decode.decode_blocks([good, bad_zero_off])
     assert res[0] == b"abcde" + b"abcdeabc" + b"XYZWQ"
     assert res[1] is None
+
+
+def test_device_lz4_decode_high_ratio_block():
+    """A tiny compressed block expanding to ~60KB must decode on device
+    (outcap >= 128K regardless of compressed size)."""
+    from qatzip_tpu.engine.lz4_block import lz4_block_compress
+    from qatzip_tpu.ops import lz4_decode
+
+    data = b"A" * 60000
+    blk = lz4_block_compress(data)
+    assert len(blk) < 2000
+    res = lz4_decode.decode_blocks([blk])
+    assert res[0] == data
