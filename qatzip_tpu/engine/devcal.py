@@ -80,7 +80,7 @@ def device_allowed(direction) -> bool:
         bool(cal.get("decomp_device_wins", False))
 
 
-def calibrate(sample_bytes: int = 2 << 20, level: int = 1,
+def calibrate(sample_bytes: int = 4 << 20, level: int = 1,
               save: bool = True) -> dict:
     """Measure device vs CPU throughput on this host and persist the
     routing record.  Expensive on first run (kernel compiles); meant to be
