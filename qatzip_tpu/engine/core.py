@@ -203,7 +203,8 @@ def _session_crc_update(kind: str, crc: int, chunk_crc: int, chunk_len: int,
         return chunk_crc if first else ck.crc32_combine(crc, chunk_crc, chunk_len)
     if kind == "adler32":
         return chunk_crc if first else ck.adler32_combine(crc, chunk_crc, chunk_len)
-    # xxh32 is not combinable; report the last chunk's value
+    # xxh32 is not combinable from chunk digests; the funnels overwrite the
+    # session value with a whole-request digest after reassembly (below)
     return chunk_crc
 
 
@@ -346,6 +347,15 @@ def compress_ext(sess: QzSession, src, last: int = 1,
         return res
 
     data = bytes(out)
+
+    if kind == "xxh32" and consumed > 0:
+        # Whole-request XXH32 over the input: per-chunk digests are not
+        # combinable, and a caller treating the session CRC as a
+        # whole-stream digest must get exactly that.  crc_init does not
+        # carry (XXH32 cannot resume from a bare digest); the streaming API
+        # is DEFLATE-only (reference src/qatzip_stream.c:478-484) so no
+        # caller chains LZ4 requests.
+        res.crc = ck.xxh32(src[:consumed], 0)
 
     # LZ4S post-processing hook (reference src/qatzip.c:1804-1839, 2071-2081)
     if fmt == DataFormatInternal.LZ4S_BK and p.qzCallback is not None:
@@ -615,6 +625,9 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
         res.rc = C.QZ_FAIL
         return res
     res.data = bytes(out)
+    if kind == "xxh32" and out:
+        # whole-output digest, mirroring the compress-side semantics
+        res.crc = ck.xxh32(res.data, 0)
     res.consumed = pos
     with sess.stats_lock:
         sess.total_in += pos

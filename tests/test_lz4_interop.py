@@ -167,3 +167,28 @@ def test_our_frame_round_trip_all_sizes(corpus_factory):
         data = corpus_factory(n, "text")
         frame = qz.compress(data, "lz4")
         assert qz.decompress(frame, "lz4") == data
+
+
+# ---------------------------------------------------------------------------
+# Session checksum semantics: whole-stream XXH32 on multi-chunk requests
+# ---------------------------------------------------------------------------
+def test_session_xxh32_is_whole_stream_digest(corpus_factory):
+    """qz_compress_crc/qz_decompress_crc on LZ4 formats must return the
+    XXH32 of the WHOLE input/output, not the last chunk's digest: per-chunk
+    XXH32 values are not combinable, so the funnels compute a whole-request
+    digest after reassembly (engine/core.py)."""
+    data = corpus_factory(200_000, "text")  # 4 chunks at 64KB hw_buff_sz
+    want = xxhash.xxh32_intdigest(data, 0)
+
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsLZ4()
+    assert qz.qz_setup_session_lz4(sess, p) == qz.QZ_OK
+    res = qz.qz_compress_crc(sess, data)
+    assert res.rc == qz.QZ_OK
+    assert res.crc == want, "compress session CRC must be whole-input XXH32"
+
+    dsess = qz.QzSession()
+    assert qz.qz_setup_session_lz4(dsess, p) == qz.QZ_OK
+    back = qz.qz_decompress_crc(dsess, res.data)
+    assert back.rc == qz.QZ_OK and back.data == data
+    assert back.crc == want, "decompress session CRC must be whole-output XXH32"
