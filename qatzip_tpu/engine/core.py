@@ -589,9 +589,25 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                 dc = decoded[di]
                 di += 1
                 data, chunk_ck, eos = dc.data, dc.checksum, dc.end_of_stream
-                if expected_ck is not None and chunk_ck != expected_ck:
-                    QZ_ERROR("checksum mismatch: got %08x expect %08x",
-                             chunk_ck, expected_ck)
+                bad_ck = expected_ck is not None and chunk_ck != expected_ck
+                # gzip's ISIZE is mandatory: a decoded size disagreeing with
+                # the footer is corruption even when the CRC field collides
+                bad_sz = (hint >= 0 and len(data) != hint
+                          and fmt in (DataFormatInternal.DEFLATE_GZIP,
+                                      DataFormatInternal.DEFLATE_GZIP_EXT))
+                if bad_ck or bad_sz:
+                    if (not first and not eos
+                            and payload_off + payload_len
+                            + framing.footer_sz(fmt) >= n):
+                        # the trailing member is structurally incomplete
+                        # (input truncated mid-member): stop at the previous
+                        # member boundary — the partial-consume contract,
+                        # not a data error
+                        stop = True
+                        break
+                    QZ_ERROR("member mismatch: crc %08x expect %s size %d "
+                             "expect %d", chunk_ck, expected_ck, len(data),
+                             hint)
                     rf.abort()
                     res.rc = C.QZ_DATA_ERROR
                     return res

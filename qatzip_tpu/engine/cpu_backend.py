@@ -68,12 +68,19 @@ def _deflate_decompress(payload: bytes, hint: int) -> tuple[bytes, bool]:
     """Inflate one complete raw-deflate stream; returns (data, eof)."""
     if _native is not None:
         max_out = hint if hint and hint > 0 else max(4 * len(payload), 1 << 16)
-        while True:
-            try:
-                data, _used, eof = _native.inflate(payload, max_out)
-                return data, eof
-            except OverflowError:
-                max_out *= 4  # unknown output size: grow and retry
+        try:
+            while True:
+                try:
+                    data, _used, eof = _native.inflate(payload, max_out)
+                    return data, eof
+                except OverflowError:
+                    max_out *= 4  # unknown output size: grow and retry
+        except ValueError:
+            # native rejects both corrupt and truncated streams; the zlib
+            # path below distinguishes (truncation returns partial data with
+            # eof False — feeding the engine's partial-consume contract —
+            # while corruption raises)
+            pass
     do = zlib.decompressobj(-15)
     data = do.decompress(payload) + do.flush()
     return data, do.eof

@@ -98,6 +98,8 @@ def parse_any_gzip_header(buf, off: int = 0) -> tuple[int, int] | None:
     if buf[off] != _GZ_ID1 or buf[off + 1] != _GZ_ID2 or buf[off + 2] != _GZ_CM_DEFLATE:
         return None
     flg = buf[off + 3]
+    if flg & 0xE0:  # RFC1952 reserved FLG bits must be zero
+        return None
     pos = off + STD_GZIP_HEADER_SIZE
     if flg & 0x04:  # FEXTRA
         if n - pos < 2:
