@@ -569,4 +569,96 @@ int64_t qz_lz4_assemble(const uint8_t* src, int64_t n, const int32_t* rec,
     return op - dst;
 }
 
+// ---------------------------------------------------------------------------
+// Token applier for the Pallas lockstep inflate (ops/pallas_inflate.py).
+//
+// The device decodes the Huffman/entropy half of DEFLATE in lockstep across
+// blocks and emits one fixed-width token per (step, lane):
+//   0                      : inactive (lane finished / padding)
+//   bit0=1                 : literal, byte in bits 1..8
+//   bit0=0, bit1=1         : match, len(3..258) in bits 2..10,
+//                            dist-1 (0..32767) in bits 11..25
+// This routine is the host half (the LZ77 window-copy engine the QAT ASIC
+// has dedicated silicon for, reference src/qatzip.c:2103-2355): applies one
+// lane's token column (stride = lane count) into dst with the 32KB history
+// window for cross-round back-references.  Returns produced length, or
+// -1 dist underrun / -2 overflow / -3 bad token.
+// ---------------------------------------------------------------------------
+static inline int64_t apply_one_token(uint32_t t, uint8_t* dst, int64_t pos,
+                                      int64_t cap, const uint8_t* window,
+                                      int64_t wlen) {
+    // returns new pos, or negative error
+    if (t & 1u) {
+        if (pos >= cap) return -2;
+        dst[pos++] = (uint8_t)((t >> 1) & 0xFF);
+        return pos;
+    }
+    if (!(t & 2u)) return -3;
+    int64_t len = (int64_t)((t >> 2) & 0x1FF);
+    int64_t dist = (int64_t)((t >> 11) & 0x7FFF) + 1;
+    if (len < 3 || len > 258) return -3;
+    if (pos + len > cap) return -2;
+    if (dist <= pos) {
+        const uint8_t* srcp = dst + pos - dist;
+        uint8_t* dp = dst + pos;
+        if (dist >= 8) {
+            int64_t k = 0;
+            for (; k + 8 <= len; k += 8) std::memcpy(dp + k, srcp + k, 8);
+            for (; k < len; k++) dp[k] = srcp[k];
+        } else {
+            for (int64_t k = 0; k < len; k++) dp[k] = srcp[k];
+        }
+        return pos + len;
+    }
+    // reaches into the history window from previous rounds
+    int64_t from_win = dist - pos;
+    if (from_win > wlen) return -1;
+    const uint8_t* wp = window + wlen - from_win;
+    int64_t take = from_win < len ? from_win : len;
+    std::memcpy(dst + pos, wp, (size_t)take);
+    pos += take;
+    int64_t rem = len - take;
+    if (rem > 0) {
+        // remainder wraps into the produced output (dist == pos now)
+        const uint8_t* srcp = dst + pos - dist;
+        uint8_t* dp = dst + pos;
+        for (int64_t k = 0; k < rem; k++) dp[k] = srcp[k];
+        pos += rem;
+    }
+    return pos;
+}
+
+int64_t qz_apply_tokens(const uint32_t* toks, int64_t nsteps, int64_t stride,
+                        const uint8_t* window, int64_t wlen,
+                        uint8_t* dst, int64_t cap) {
+    int64_t pos = 0;
+    for (int64_t s = 0; s < nsteps; s++) {
+        uint32_t t = toks[s * stride];
+        if (t == 0) continue;
+        pos = apply_one_token(t, dst, pos, cap, window, wlen);
+        if (pos < 0) return pos;
+    }
+    return pos;
+}
+
+// Tiled layout from the Pallas driver: tokens u32[NT, B, TILE]; one lane's
+// tokens are contiguous within each tile row.  toks points at tile 0 of the
+// lane (base + lane*TILE); tile_stride = B*TILE.
+int64_t qz_apply_tokens_tiled(const uint32_t* toks, int64_t ntiles,
+                              int64_t tile, int64_t tile_stride,
+                              const uint8_t* window, int64_t wlen,
+                              uint8_t* dst, int64_t cap) {
+    int64_t pos = 0;
+    for (int64_t ti = 0; ti < ntiles; ti++) {
+        const uint32_t* row = toks + ti * tile_stride;
+        for (int64_t s = 0; s < tile; s++) {
+            uint32_t t = row[s];
+            if (t == 0) continue;
+            pos = apply_one_token(t, dst, pos, cap, window, wlen);
+            if (pos < 0) return pos;
+        }
+    }
+    return pos;
+}
+
 }  // extern "C"

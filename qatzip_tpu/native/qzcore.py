@@ -78,6 +78,16 @@ _lib.qz_lz4_assemble.restype = ctypes.c_int64
 _lib.qz_lz4_assemble.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+_lib.qz_apply_tokens.restype = ctypes.c_int64
+_lib.qz_apply_tokens.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_void_p,
+                                 ctypes.c_int64, ctypes.c_void_p,
+                                 ctypes.c_int64]
+_lib.qz_apply_tokens_tiled.restype = ctypes.c_int64
+_lib.qz_apply_tokens_tiled.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_void_p, ctypes.c_int64]
 _lib.qz_huff_build_batch.restype = ctypes.c_int
 _lib.qz_huff_build_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -369,3 +379,44 @@ def inflate(data, max_out: int) -> tuple[bytes, int, bool]:
     if n < 0:
         raise ValueError("corrupt deflate stream")
     return buf.raw[:n], used.value, bool(eof.value)
+
+
+def apply_tokens(tokens_np, lane: int, window, wlen: int,
+                 cap: int) -> bytes:
+    """Apply one lane's token column from the Pallas lockstep inflate
+    (ops/pallas_inflate.py) — the host LZ77 window-copy half.
+
+    tokens_np: uint32 C-contiguous [nsteps, nlanes]; lane selects the
+    column.  Raises ValueError on a malformed token stream.
+    """
+    import numpy as np
+
+    assert tokens_np.dtype == np.uint32 and tokens_np.flags.c_contiguous
+    nsteps, nlanes = tokens_np.shape
+    buf = ctypes.create_string_buffer(max(cap, 1))
+    wp, wn, wkeep = _addr(window) if wlen else (ctypes.c_void_p(0), 0, None)
+    base = tokens_np.ctypes.data + 4 * lane
+    n = _lib.qz_apply_tokens(ctypes.c_void_p(base), nsteps, nlanes,
+                             wp, wlen, buf, cap)
+    if n < 0:
+        raise ValueError(f"token apply failed ({n})")
+    return buf.raw[:n]
+
+
+def apply_tokens_tiled(tokens3_np, lane: int, window, wlen: int,
+                       cap: int) -> bytes:
+    """Apply one lane's tokens from the Pallas driver's tiled layout
+    (u32 C-contiguous [NT, B, TILE]); the lane's tokens are contiguous
+    within each tile row."""
+    import numpy as np
+
+    assert tokens3_np.dtype == np.uint32 and tokens3_np.flags.c_contiguous
+    nt, b, tile = tokens3_np.shape
+    buf = ctypes.create_string_buffer(max(cap, 1))
+    wp, wn, wkeep = _addr(window) if wlen else (ctypes.c_void_p(0), 0, None)
+    base = tokens3_np.ctypes.data + 4 * lane * tile
+    n = _lib.qz_apply_tokens_tiled(ctypes.c_void_p(base), nt, tile,
+                                   b * tile, wp, wlen, buf, cap)
+    if n < 0:
+        raise ValueError(f"token apply failed ({n})")
+    return buf.raw[:n]

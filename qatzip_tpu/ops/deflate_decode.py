@@ -33,10 +33,16 @@ reference's HW->SW failover (src/qatzip_sw.c:792-846).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 from qatzip_tpu.ops import deflate_tables as T
+
+try:  # native token applier (qz_apply_tokens); python fallback below
+    from qatzip_tpu.native import qzcore as _native
+except Exception:  # pragma: no cover - native build optional
+    _native = None
 
 MAX_PAYLOAD = 1 << 20     # payloads larger than 1 MB route to the CPU path
 MAX_OUTCAP = 1 << 20
@@ -406,7 +412,7 @@ def _decode_kernel(nbits: int, outcap: int):
 
 class _Stream:
     __slots__ = ("payload", "hint", "bits", "out", "window", "done", "failed",
-                 "final_block", "index", "_tables", "kind", "crc", "crc_len")
+                 "final_block", "index", "_lens", "kind", "crc", "crc_len")
 
     def __init__(self, payload: bytes, hint: int, index: int,
                  kind: str = "crc32"):
@@ -543,20 +549,165 @@ def _parse_one_header(s: _Stream) -> str:
             return "end"
         return "stored"
     if btype == 1:
-        s._tables = static_tables()  # type: ignore[attr-defined]
+        s._lens = None  # static tables; engines cache their builds
         return "huff"
     if btype == 2:
-        ll_lens, d_lens = parse_dynamic_header(br)
-        tll = build_flat_table(ll_lens, _pack_ll_entries(ll_lens))
-        # a block may legally have no distance code at all (d_lens all 0 or
-        # a single zero-length entry) — matches then are invalid anyway
-        td = build_flat_table(d_lens, _pack_d_entries(d_lens))
-        s._tables = (tll, td)  # type: ignore[attr-defined]
+        # stash the code lengths; each decode engine (lockstep regions /
+        # speculative flat tables) builds its own table form at round time
+        s._lens = parse_dynamic_header(br)  # type: ignore[attr-defined]
         return "huff"
     raise ValueError("reserved BTYPE")
 
 
 def _run_device_round(batch) -> None:
+    """Dispatch one device decode round.  Default engine: the lockstep
+    token decoder (ops/pallas_inflate.py).  QATZIP_TPU_INFLATE=spec keeps
+    the round-3 speculative per-bit kernel selectable for comparison."""
+    if os.environ.get("QATZIP_TPU_INFLATE", "lockstep") == "spec":
+        return _run_device_round_spec(batch)
+    # lockstep rounds take up to LANES blocks; sort by remaining payload so
+    # similar-sized blocks share a round (lockstep runs to the slowest lane)
+    from qatzip_tpu.ops import pallas_inflate as PI
+
+    order = sorted(batch, key=lambda s: len(s.payload) - (s.bits.pos >> 3))
+    for i in range(0, len(order), PI.LANES):
+        _run_device_round_lockstep(order[i:i + PI.LANES])
+
+
+# -- lockstep engine (round 4) ----------------------------------------------
+_LOCKSTEP_NW = (1024, 4096, 16896)       # stream words per lane (buckets)
+_LOCKSTEP_STEPS = (1024, 4096, 16384, 65664)
+
+
+def _lockstep_regions(s):
+    from qatzip_tpu.ops import pallas_inflate as PI
+
+    if getattr(s, "_lens", None) is None:
+        return PI.static_regions()
+    ll_lens, d_lens = s._lens
+    return PI.build_ll_region(ll_lens), PI.build_d_region(d_lens)
+
+
+def _apply_tokens_py(lane_tokens: np.ndarray, window: bytes,
+                     cap: int) -> bytes:
+    """Python fallback for qz_apply_tokens (native absent)."""
+    out = bytearray()
+    wl = len(window)
+    for t in lane_tokens:
+        t = int(t)
+        if t == 0:
+            continue
+        if t & 1:
+            if len(out) >= cap:
+                raise ValueError("token overflow")
+            out.append((t >> 1) & 0xFF)
+            continue
+        if not t & 2:
+            raise ValueError("bad token")
+        ln = (t >> 2) & 0x1FF
+        d = ((t >> 11) & 0x7FFF) + 1
+        if ln < 3 or ln > 258 or len(out) + ln > cap:
+            raise ValueError("bad token")
+        for _ in range(ln):
+            p = len(out) - d
+            if p >= 0:
+                out.append(out[p])
+            elif wl + p >= 0:
+                out.append(window[wl + p])
+            else:
+                raise ValueError("window underrun")
+    return bytes(out)
+
+
+def _run_device_round_lockstep(batch) -> None:
+    from qatzip_tpu.ops import pallas_inflate as PI
+
+    B = PI.LANES
+    live: list[tuple] = []
+    for s in batch:
+        try:
+            regions = _lockstep_regions(s)
+        except ValueError:
+            s.failed = True  # over-subscribed/invalid code: CPU decides
+            continue
+        byte0 = s.bits.pos >> 3
+        words = (len(s.payload) - byte0 + 3) // 4 + 2
+        if words > _LOCKSTEP_NW[-1]:
+            s.failed = True  # beyond the per-lane VMEM stream budget
+            continue
+        rem = (s.hint - len(s.out)) if (s.hint and s.hint > 0) else (1 << 16)
+        rem = max(1, min(rem, MAX_OUTCAP))
+        live.append((s, regions, byte0, rem, words))
+    if not live:
+        return
+
+    NW = next(b for b in _LOCKSTEP_NW if b >= max(t[4] for t in live))
+    need = min(65537, max(t[3] for t in live) + 2)
+    MS = next(b for b in _LOCKSTEP_STEPS if b >= need)
+
+    stream8 = np.zeros((B, NW * 4), np.uint8)
+    bit0 = np.zeros((B,), np.int32)
+    nbits = np.zeros((B,), np.int32)
+    tll = np.zeros((B, PI.CELLS), np.uint32)
+    td = np.zeros((B, PI.CELLS), np.uint32)
+    active = np.zeros((B,), bool)
+    for i, (s, regions, byte0, rem, words) in enumerate(live):
+        pv = np.frombuffer(s.payload, np.uint8, len(s.payload) - byte0,
+                           byte0)
+        stream8[i, :len(pv)] = pv
+        bit0[i] = s.bits.pos & 7
+        nbits[i] = len(pv) * 8
+        tll[i], td[i] = regions
+        active[i] = True
+
+    tokens, err, outcnt, end_bit, _ns = PI.decode_blocks(
+        stream8.view("<u4"), bit0, nbits, tll, td, active, MS)
+    tiled = isinstance(tokens, tuple)  # pallas driver: ("tiled", [NT,B,T])
+    if tiled:
+        tokens3 = np.ascontiguousarray(tokens[1])
+    else:
+        tokens = np.ascontiguousarray(tokens)
+
+    for i, (s, regions, byte0, rem, words) in enumerate(live):
+        if err[i] or end_bit[i] < 0 or outcnt[i] > rem:
+            s.failed = True
+            continue
+        try:
+            if tiled:
+                if _native is not None:
+                    data = _native.apply_tokens_tiled(
+                        tokens3, i, s.window, len(s.window), int(outcnt[i]))
+                else:
+                    data = _apply_tokens_py(
+                        tokens3[:, i, :].reshape(-1), s.window,
+                        int(outcnt[i]))
+            elif _native is not None:
+                data = _native.apply_tokens(tokens, i, s.window,
+                                            len(s.window), int(outcnt[i]))
+            else:
+                data = _apply_tokens_py(tokens[:, i], s.window,
+                                        int(outcnt[i]))
+        except ValueError:
+            s.failed = True
+            continue
+        if len(data) != int(outcnt[i]):
+            s.failed = True
+            continue
+        s.push(data)
+        s.bits.pos = (byte0 << 3) + int(end_bit[i])
+        if s.final_block:
+            s.done = True
+
+
+def _spec_tables(s):
+    if getattr(s, "_lens", None) is None:
+        return static_tables()
+    ll_lens, d_lens = s._lens
+    return (build_flat_table(ll_lens, _pack_ll_entries(ll_lens)),
+            build_flat_table(d_lens, _pack_d_entries(d_lens)))
+
+
+def _run_device_round_spec(batch) -> None:
     import jax.numpy as jnp
 
     pb = max(len(s.payload) - (s.bits.pos >> 3) for s in batch)
@@ -606,7 +757,11 @@ def _run_device_round(batch) -> None:
     for i, s in enumerate(batch):
         pay[i, :len(s.payload)] = np.frombuffer(s.payload, np.uint8)
         bit0[i] = s.bits.pos
-        tll[i], td[i] = s._tables  # type: ignore[attr-defined]
+        try:
+            tll[i], td[i] = _spec_tables(s)
+        except ValueError:
+            s.failed = True  # invalid code set: zero tables flag as err
+            continue
         w = s.window
         if w:
             window[i, 32768 - len(w):] = np.frombuffer(w, np.uint8)

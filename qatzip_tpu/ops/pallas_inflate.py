@@ -1,0 +1,352 @@
+"""Lockstep DEFLATE entropy decoder — the device half of the hybrid
+inflate pipeline (round-4 replacement for the speculative per-bit decoder).
+
+Design (mirrors the hybrid ENCODER's device/host split): the device decodes
+the serial Huffman/entropy half of DEFLATE for up to 128 independent blocks
+in lockstep — one block per sublane row, every step decoding one symbol per
+block — and emits fixed-width token records at regular [step, block] slots.
+The host then applies tokens (the LZ77 window-copy half the QAT ASIC has
+dedicated silicon for: native qz_apply_tokens, qzcore.cpp) and carries the
+32KB history between rounds.  Reference HW decompress role:
+src/qatzip.c:2103-2355.
+
+Two drivers share one step function (`decode_step`):
+  * XLA driver (`_decode_xla`): lax.while_loop + take_along_axis — runs
+    anywhere (the CPU test mesh) and is the reference implementation.
+  * Pallas driver (ops/pallas_inflate_kernel.py): per-block table regions
+    as 128-wide VMEM slabs, one-hot masked-reduction window refill (no
+    dynamic addressing — every dynamic-offset construct crashes Mosaic on
+    this target; tools/probe_inflate_step*.py), token tiles DMA'd to HBM.
+
+Wire knowledge (RFC1951): per-block two-level Huffman tables — 9-bit root
++ subtables for codes >9 bits — built host-side per deflate block.  Entries
+are u16, packed two per u32 cell so a 512-entry root costs two 128-wide
+gathers:
+
+  region: u32[512] cells = root u16[512] (cells 0..255)
+                         + subtable area u16[512] (cells 256..511)
+  litlen u16:  clen[0:4] kind[4:6] payload[6:14]
+     kind 0 literal : payload = byte (low 8 of [6:14])
+     kind 1 length  : payload = length symbol index 0..28
+     kind 2 EOB
+     kind 3 subptr  : clen field = subbits, payload = sub_base/2
+  dist u16:    clen[0:4] kind[4:6] payload[6:11] = dist symbol 0..29
+     kind 3 subptr as above
+  u16 == 0 -> invalid (corrupt stream; lane errors, CPU fallback)
+  length/dist (base, extra) resolve through tiny shared constant tables
+  (LCONST u32[29] = len_base<<4|extra, DCONST u32[30] = (dist_base-1)<<4
+  | extra) — one broadcast-row gather each.
+
+Token format (shared with qz_apply_tokens, qzcore.cpp):
+  0                  inactive (lane done / padding)
+  bit0=1             literal, byte in bits 1..8
+  bit0=0,bit1=1      match, len(3..258) in bits 2..10, dist-1 in bits 11..25
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from qatzip_tpu.ops import deflate_tables as T
+
+LANES = 128          # blocks decoded in lockstep
+CELLS = 512          # u32 cells per table region (root 256 + sub 256)
+ROOT_BITS = 9
+
+
+def _lconst_np() -> np.ndarray:
+    out = np.zeros(32, np.uint32)
+    for i in range(29):
+        out[i] = (np.uint32(T._LENGTH_BASE[i]) << 4) | \
+            np.uint32(T._LENGTH_EXTRA[i])
+    return out
+
+
+def _dconst_np() -> np.ndarray:
+    out = np.zeros(32, np.uint32)
+    for i in range(30):
+        out[i] = (np.uint32(T._DIST_BASE[i] - 1) << 4) | \
+            np.uint32(T._DIST_EXTRA[i])
+    return out
+
+
+LCONST = _lconst_np()
+DCONST = _dconst_np()
+
+
+# ---------------------------------------------------------------------------
+# Host: two-level packed table build
+# ---------------------------------------------------------------------------
+def _bitrev_vec(v: np.ndarray, l: np.ndarray) -> np.ndarray:
+    """Bit-reverse each v[i] over its own length l[i] (vectorized)."""
+    out = np.zeros_like(v)
+    work = v.copy()
+    maxl = int(l.max()) if l.size else 0
+    for _ in range(maxl):
+        out = (out << 1) | (work & 1)
+        work >>= 1
+    return out >> (maxl - l)
+
+
+def _pack_cells(u16: np.ndarray) -> np.ndarray:
+    """u16[1024] -> u32[512] cells (little-endian pair packing)."""
+    return (u16[0::2].astype(np.uint32)
+            | (u16[1::2].astype(np.uint32) << 16))
+
+
+def _build_twolevel(lens: np.ndarray, entry16: np.ndarray,
+                    valid: np.ndarray) -> np.ndarray:
+    """Build the packed region from per-symbol code lengths and u16 entries
+    (clen/kind/payload already packed; clen filled in here).  ``valid``
+    marks symbols legal in a stream — invalid ones (286/287, dist 30/31)
+    may own code space (the static code assigns them lengths) but decode to
+    the 0 entry, erroring the lane per RFC1951.  Raises ValueError on
+    over-subscribed codes or subtable overflow (caller falls back to the
+    CPU path).  Vectorized per code length — one build per dynamic deflate
+    block is on the round-trip hot path."""
+    lens = lens.astype(np.int64)
+    codes = T.canonical_codes(lens.astype(np.int32)).astype(np.int64)
+    if ((codes >> np.maximum(lens, 1)) != 0).any():
+        raise ValueError("over-subscribed Huffman code")
+    entries = np.where((lens > 0) & valid, entry16 | lens.astype(np.uint16),
+                       0).astype(np.uint16)
+    root = np.zeros(512, np.uint16)
+    sub = np.zeros(512, np.uint16)
+    for l in range(1, ROOT_BITS + 1):
+        syms = np.nonzero(lens == l)[0]
+        if syms.size == 0:
+            continue
+        rc = _bitrev_vec(codes[syms], np.full(syms.size, l, np.int64))
+        fills = np.arange(1 << (ROOT_BITS - l), dtype=np.int64) << l
+        idx = (rc[:, None] | fills[None, :]).reshape(-1)
+        root[idx] = np.repeat(entries[syms], 1 << (ROOT_BITS - l))
+    long_syms = np.nonzero(lens > ROOT_BITS)[0]
+    if long_syms.size:
+        rcf = _bitrev_vec(codes[long_syms], lens[long_syms])
+        slots = rcf & (512 - 1)
+        next_free = 0
+        for slot in np.unique(slots):
+            sel = slots == slot
+            syms = long_syms[sel]
+            rcs = rcf[sel]
+            subbits = int(lens[syms].max()) - ROOT_BITS
+            size = 1 << subbits
+            if next_free + size > 512:
+                raise ValueError("subtable overflow")
+            if root[slot] != 0:
+                raise ValueError("root/sub collision")  # over-subscription
+            root[slot] = np.uint16(subbits | (3 << 4) | ((next_free >> 1) << 6))
+            for l in range(ROOT_BITS + 1, 16):
+                lsel = lens[syms] == l
+                if not lsel.any():
+                    continue
+                rc = rcs[lsel] >> ROOT_BITS
+                fills = (np.arange(1 << (subbits - (l - ROOT_BITS)),
+                                   dtype=np.int64) << (l - ROOT_BITS))
+                idx = next_free + (rc[:, None] | fills[None, :]).reshape(-1)
+                sub[idx] = np.repeat(entries[syms[lsel]], fills.size)
+            next_free += size
+    return np.concatenate([_pack_cells(root), _pack_cells(sub)])
+
+
+def build_ll_region(lens: np.ndarray) -> np.ndarray:
+    """Packed litlen region from code lengths (hlit entries)."""
+    nsym = len(lens)
+    e = np.zeros(nsym, np.uint16)
+    sym = np.arange(nsym)
+    lit = sym < 256
+    e[lit] = (sym[lit].astype(np.uint16)) << 6
+    if nsym > 256:
+        e[256] = 2 << 4  # EOB
+    hi = min(nsym, 286)
+    for s in range(257, hi):
+        e[s] = (1 << 4) | ((s - 257) << 6)
+    return _build_twolevel(lens, e, sym < 286)
+
+
+def build_d_region(lens: np.ndarray) -> np.ndarray:
+    """Packed distance region from code lengths (hdist entries)."""
+    nsym = len(lens)
+    e = np.zeros(nsym, np.uint16)
+    hi = min(nsym, 30)
+    e[:hi] = (np.arange(hi, dtype=np.uint16)) << 6
+    return _build_twolevel(lens, e, np.arange(nsym) < 30)
+
+
+@functools.lru_cache(maxsize=1)
+def static_regions() -> tuple[np.ndarray, np.ndarray]:
+    return (build_ll_region(T.STATIC_LITLEN_LEN),
+            build_d_region(T.STATIC_DIST_LEN))
+
+
+# ---------------------------------------------------------------------------
+# Shared step arithmetic (jnp; shapes chosen by the driver)
+# ---------------------------------------------------------------------------
+def _mask(nbits):
+    import jax.numpy as jnp
+
+    return (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1)
+
+
+def _resolve(fetch_cell, bits, sub_cell_base):
+    """Root+sub lookup through the packed region.  Returns the final u16
+    entry (as u32) and the consumed-code length field."""
+    import jax.numpy as jnp
+
+    _u = jnp.uint32
+    idx9 = (bits & _u(511)).astype(jnp.int32)
+    cell = fetch_cell(idx9 >> 1)
+    e = (cell >> ((idx9.astype(_u) & _u(1)) << _u(4))) & _u(0xFFFF)
+    is_sub = ((e >> _u(4)) & _u(3)) == _u(3)
+    subbits = e & _u(15)
+    sidx = (((e >> _u(6)) & _u(0xFF)) << _u(1)).astype(jnp.int32) + \
+        ((bits >> _u(ROOT_BITS)) & _mask(subbits)).astype(jnp.int32)
+    cell2 = fetch_cell(sub_cell_base + (sidx >> 1))
+    e2 = (cell2 >> ((sidx.astype(_u) & _u(1)) << _u(4))) & _u(0xFFFF)
+    return jnp.where(is_sub, e2, e)
+
+
+def decode_step(peek, ll_cell, d_cell, lconst, dconst, st):
+    """One lockstep symbol decode.  ``st`` = (bitpos i32, done b, err b,
+    outcnt i32, end_bit i32); ``peek(bitpos) -> u32`` returns the next 32
+    stream bits; ``*_cell(cell_idx) -> u32`` fetch packed table cells;
+    ``lconst/dconst(idx) -> u32`` fetch the shared base/extra constants.
+    Returns (token u32, new_st)."""
+    import jax.numpy as jnp
+
+    bitpos, done, err, outcnt, end_bit = st
+    _u = jnp.uint32
+
+    bits = peek(bitpos)
+    e = _resolve(ll_cell, bits, 256)
+    clen = (e & _u(15)).astype(jnp.int32)
+    kind = ((e >> _u(4)) & _u(3)).astype(jnp.int32)
+    bad = (e == _u(0)) | (kind == 3)  # unresolved subptr = corrupt stream
+    islit = (kind == 0) & ~bad
+    islen = kind == 1
+    iseob = kind == 2
+    lc = lconst(((e >> _u(6)) & _u(31)).astype(jnp.int32))
+    eb = jnp.where(islen, (lc & _u(15)).astype(jnp.int32), 0)
+    lex = ((bits >> clen.astype(_u)) & _mask(eb)).astype(jnp.int32)
+    mlen = (lc >> _u(4)).astype(jnp.int32) + lex
+    bp2 = bitpos + clen + eb
+
+    bits2 = peek(bp2)
+    ed = _resolve(d_cell, bits2, 256)
+    dclen = (ed & _u(15)).astype(jnp.int32)
+    dkind = ((ed >> _u(4)) & _u(3)).astype(jnp.int32)
+    dbad = (ed == _u(0)) | (dkind != 0)
+    dc = dconst(((ed >> _u(6)) & _u(31)).astype(jnp.int32))
+    deb = (dc & _u(15)).astype(jnp.int32)
+    dex = ((bits2 >> dclen.astype(_u)) & _mask(deb)).astype(jnp.int32)
+    dist1 = (dc >> _u(4)).astype(jnp.int32) + dex
+
+    bad = bad | (islen & dbad)
+    islen = islen & ~bad
+    islit = islit & ~bad
+
+    active = ~done & ~err
+    token = jnp.where(
+        active & islit, _u(1) | (((e >> _u(6)) & _u(0xFF)) << _u(1)),
+        jnp.where(active & islen,
+                  _u(2) | (mlen.astype(_u) << _u(2))
+                  | (dist1.astype(_u) << _u(11)),
+                  _u(0)))
+    new_end = jnp.where(active & iseob & ~bad, bp2, end_bit)
+    new_err = err | (active & bad)
+    new_done = done | (active & (iseob | bad))
+    new_outcnt = outcnt + jnp.where(
+        active, jnp.where(islit, 1, jnp.where(islen, mlen, 0)), 0)
+    adv = jnp.where(islit | iseob, clen + eb,
+                    jnp.where(islen, clen + eb + dclen + deb, 0))
+    new_bitpos = jnp.where(active, bitpos + adv, bitpos)
+    return token, (new_bitpos, new_done, new_err, new_outcnt, new_end)
+
+
+# ---------------------------------------------------------------------------
+# XLA driver (reference implementation; runs on the CPU test mesh)
+# ---------------------------------------------------------------------------
+@functools.partial(
+    __import__("jax").jit, static_argnames=("max_steps",))
+def _decode_xla(stream_words, bit0, nbits, tll, td, active0, max_steps: int):
+    """stream_words u32[B, NW]; bit0/nbits i32[B]; tll/td u32[B, CELLS];
+    active0 bool[B].  Returns (tokens u32[max_steps, B], err, outcnt,
+    end_bit, nsteps)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, NW = stream_words.shape
+    _u = jnp.uint32
+    lconst_a = jnp.asarray(LCONST)
+    dconst_a = jnp.asarray(DCONST)
+
+    def peek(bitpos):
+        wi = jnp.clip(bitpos >> 5, 0, NW - 2)
+        sh = (bitpos & 31).astype(_u)
+        w0 = jnp.take_along_axis(stream_words, wi[:, None], axis=1)[:, 0]
+        w1 = jnp.take_along_axis(stream_words, wi[:, None] + 1, axis=1)[:, 0]
+        return (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
+
+    def mk_cell(tbl):
+        def f(idx):
+            return jnp.take_along_axis(
+                tbl, jnp.clip(idx, 0, CELLS - 1)[:, None], axis=1)[:, 0]
+        return f
+
+    tokens0 = jnp.zeros((max_steps, B), _u)
+
+    def cond(carry):
+        step, st, tokens = carry
+        _, done, err, _, _ = st
+        return (step < max_steps) & ~jnp.all(done | err)
+
+    def body(carry):
+        step, st, tokens = carry
+        tok, st2 = decode_step(peek, mk_cell(tll), mk_cell(td),
+                               lambda i: jnp.take(lconst_a, i),
+                               lambda i: jnp.take(dconst_a, i), st)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok, step,
+                                                     axis=0)
+        return step + 1, st2, tokens
+
+    st0 = (bit0, ~active0, jnp.zeros((B,), jnp.bool_),
+           jnp.zeros((B,), jnp.int32), jnp.full((B,), -1, jnp.int32))
+    nsteps, st, tokens = jax.lax.while_loop(cond, body, (0, st0, tokens0))
+    bitpos, done, err, outcnt, end_bit = st
+    # a lane still undone at max_steps, or that ran past its stream, is
+    # decoded on the CPU instead
+    err = err | (active0 & ~done) | (active0 & (bitpos > nbits))
+    err = err | (active0 & ~err & (end_bit < 0))
+    return tokens, err, outcnt, end_bit, nsteps
+
+
+# ---------------------------------------------------------------------------
+# Driver dispatch
+# ---------------------------------------------------------------------------
+def decode_blocks(stream_words: np.ndarray, bit0: np.ndarray,
+                  nbits: np.ndarray, tll: np.ndarray, td: np.ndarray,
+                  active: np.ndarray, max_steps: int,
+                  use_pallas: bool | None = None):
+    """Decode one deflate block per lane.  Host numpy in; host numpy out:
+    (tokens[S, B], err[B], outcnt[B], end_bit[B], nsteps)."""
+    import jax
+    import jax.numpy as jnp
+
+    if use_pallas is None:
+        try:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        from qatzip_tpu.ops import pallas_inflate_kernel as K
+
+        return K.decode_pallas(stream_words, bit0, nbits, tll, td, active,
+                               max_steps)
+    tokens, err, outcnt, end_bit, nsteps = _decode_xla(
+        jnp.asarray(stream_words), jnp.asarray(bit0), jnp.asarray(nbits),
+        jnp.asarray(tll), jnp.asarray(td), jnp.asarray(active),
+        max_steps=max_steps)
+    ns = int(nsteps)
+    return (np.asarray(tokens[:ns]), np.asarray(err), np.asarray(outcnt),
+            np.asarray(end_bit), ns)

@@ -1,0 +1,260 @@
+"""Pallas TPU driver for the lockstep DEFLATE entropy decoder.
+
+Construct discipline (every dynamic-addressing form crashes Mosaic on this
+target — tools/probe_inflate_step*.py):
+  * gathers: ONLY jnp.take_along_axis over [128, 128] with a full-width
+    index (563 ns measured for a full 8-gather decode step);
+  * window refill: one-hot masked ACCUMULATION over statically-unrolled
+    stream rows (pure elementwise; no dynamic slices, no per-lane DMA),
+    run adaptively when any lane nears its window edge;
+  * token output: select-accumulate into a register tile, flushed by DMA
+    to the HBM output at a major-axis offset (proven in probe v4);
+  * state: [128, 128] column-constant vectors (blocks along sublanes).
+
+Layouts:
+  stream3 u32[128, NB2, 128]   — per-block stream words, 128-word rows
+  window  u32[128, 128]        — words [64q, 64q+128) per block
+  tll/td  u32[128, 512]        — packed table regions (4 slabs each)
+  tokens  u32[NT, 128, 128]    — token(step s, block b) = [s//128, b, s%128]
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from qatzip_tpu.ops import pallas_inflate as PI
+
+LANES = PI.LANES
+TILE = 128            # steps per token tile (one DMA per tile)
+CHUNK = 32            # steps per refill-check (32*49 bits < 2048 budget)
+REFILL_THRESH = 2048  # refill when any lane's window-relative bits exceed
+
+
+def _mk_kernel(NB2: int, NT: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _u = jnp.uint32
+    R = LANES
+
+    def col_iota():
+        return jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    def kernel(stream_ref, bit0_ref, nbits_ref, tll_ref, td_ref,
+               lc_ref, dc_ref, active_ref,
+               tok_ref, err_ref, cnt_ref, end_ref, ns_ref,
+               tile_scratch, sem):
+
+        def refill(bitpos):
+            """Rebuild every lane's window at base 64*(bitpos>>11) words.
+            Statically unrolled one-hot accumulation over stream rows."""
+            q = bitpos >> 11
+            r = q >> 1
+            odd = (q & 1) == 1
+            lo = jnp.zeros((R, 64), jnp.int32)
+            hi = jnp.zeros((R, 64), jnp.int32)
+            lo1 = jnp.zeros((R, 64), jnp.int32)
+            for b in range(NB2):
+                row = stream_ref[:, b, :].astype(jnp.int32)
+                eq = (r == b)[:, :64]
+                eq1 = (r == b - 1)[:, :64]
+                lo = jnp.where(eq, row[:, :64], lo)
+                hi = jnp.where(eq, row[:, 64:], hi)
+                lo1 = jnp.where(eq1, row[:, :64], lo1)
+            first = jnp.where(odd[:, :64], hi, lo)
+            second = jnp.where(odd[:, :64], lo1, hi)
+            return (jnp.concatenate([first, second], axis=1).astype(_u), q)
+
+        def mk_peek(win, q):
+            def peek(bitpos):
+                rel = bitpos - (q << 11)
+                wi = jnp.clip(rel >> 5, 0, 126)
+                sh = (rel & 31).astype(_u)
+                w0 = jnp.take_along_axis(win, wi, axis=1)
+                w1 = jnp.take_along_axis(win, wi + 1, axis=1)
+                return (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
+            return peek
+
+        def mk_cell(tbl_ref):
+            s0 = tbl_ref[:, 0:128]
+            s1 = tbl_ref[:, 128:256]
+            s2 = tbl_ref[:, 256:384]
+            s3 = tbl_ref[:, 384:512]
+
+            def fetch(idx):
+                w = idx & 127
+                g0 = jnp.take_along_axis(s0, w, axis=1)
+                g1 = jnp.take_along_axis(s1, w, axis=1)
+                g2 = jnp.take_along_axis(s2, w, axis=1)
+                g3 = jnp.take_along_axis(s3, w, axis=1)
+                hi = idx >> 7
+                return jnp.where(hi == 0, g0,
+                                 jnp.where(hi == 1, g1,
+                                           jnp.where(hi == 2, g2, g3)))
+            return fetch
+
+        lc = lc_ref[:]
+        dc = dc_ref[:]
+
+        def lconst(i):
+            return jnp.take_along_axis(lc, i & 31, axis=1)
+
+        def dconst(i):
+            return jnp.take_along_axis(dc, i & 31, axis=1)
+
+        ll_cell = mk_cell(tll_ref)
+        d_cell = mk_cell(td_ref)
+        lanecol = col_iota()
+
+        bit0 = bit0_ref[:]
+        active = active_ref[:] != 0
+        win0, q0 = refill(bit0)
+        # carried state uses i32 masks: i1 vectors in scf loop carries
+        # trip a Mosaic layout ICE on this target
+        st0 = (bit0, (~active).astype(jnp.int32),
+               jnp.zeros((R, 128), jnp.int32),
+               jnp.zeros((R, 128), jnp.int32),
+               jnp.full((R, 128), -1, jnp.int32))
+
+        def step_i32(peek, st_i):
+            bitpos, done_i, err_i, outcnt, end_bit = st_i
+            tok, st2 = PI.decode_step(
+                peek, ll_cell, d_cell, lconst, dconst,
+                (bitpos, done_i != 0, err_i != 0, outcnt, end_bit))
+            return tok, (st2[0], st2[1].astype(jnp.int32),
+                         st2[2].astype(jnp.int32), st2[3], st2[4])
+
+        def tile_body(carry):
+            t, st, win, q, _alldone = carry
+            tile = jnp.zeros((R, TILE), _u)
+
+            def chunk_body(c, inner):
+                st, win, q, tile = inner
+                bitpos = st[0]
+                need = jnp.max(bitpos - (q << 11))
+
+                def do_refill():
+                    return refill(bitpos)
+
+                def no_refill():
+                    return win, q
+                win, q = jax.lax.cond(need > REFILL_THRESH,
+                                      do_refill, no_refill)
+                peek = mk_peek(win, q)
+
+                def step_body(k, inner2):
+                    st, tile = inner2
+                    tok, st = step_i32(peek, st)
+                    tile = jnp.where(lanecol == c * CHUNK + k, tok, tile)
+                    return st, tile
+                st, tile = jax.lax.fori_loop(0, CHUNK, step_body, (st, tile))
+                return st, win, q, tile
+
+            st, win, q, tile = jax.lax.fori_loop(
+                0, TILE // CHUNK, chunk_body, (st, win, q, tile))
+
+            # flush the tile to HBM
+            tile_scratch[:] = tile
+            cp = pltpu.make_async_copy(tile_scratch, tok_ref.at[t], sem)
+            cp.start()
+            cp.wait()
+
+            _, done_i, err_i, _, _ = st
+            alldone = jnp.min(done_i | err_i)  # scalar i32: 1 iff all done
+            return t + 1, st, win, q, alldone
+
+        def tile_cond(carry):
+            t, _st, _w, _q, alldone = carry
+            return (t < NT) & (alldone == 0)
+
+        t_fin, st, _w, _q, _ad = jax.lax.while_loop(
+            tile_cond, tile_body, (0, st0, win0, q0, 0))
+
+        bitpos, done_i, err_i, outcnt, end_bit = st
+        err = (err_i != 0) | (active & (done_i == 0)) \
+            | (active & (bitpos > nbits_ref[:]))
+        err_ref[:] = err.astype(jnp.int32)
+        cnt_ref[:] = outcnt
+        end_ref[:] = end_bit
+        ns_ref[0, 0] = t_fin * TILE
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled(NB2: int, NT: int, interpret: bool = False):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    kernel = _mk_kernel(NB2, NT)
+    R = LANES
+
+    def call(stream3, bit0, nbits, tll, td, lc, dc, active):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((NT, R, TILE), jnp.uint32),  # tokens
+                jax.ShapeDtypeStruct((R, 128), jnp.int32),        # err
+                jax.ShapeDtypeStruct((R, 128), jnp.int32),        # outcnt
+                jax.ShapeDtypeStruct((R, 128), jnp.int32),        # end_bit
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),          # nsteps
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((R, TILE), jnp.uint32),
+                            pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(stream3, bit0, nbits, tll, td, lc, dc, active)
+
+    return jax.jit(call)
+
+
+def _bcast_col(v: np.ndarray, dtype) -> np.ndarray:
+    return np.repeat(v.astype(dtype)[:, None], 128, axis=1)
+
+
+def decode_pallas(stream_words: np.ndarray, bit0: np.ndarray,
+                  nbits: np.ndarray, tll: np.ndarray, td: np.ndarray,
+                  active: np.ndarray, max_steps: int,
+                  interpret: bool = False):
+    """Pallas driver entry.  Host numpy in / host numpy out, matching
+    pallas_inflate.decode_blocks."""
+    import jax.numpy as jnp
+
+    B, NW = stream_words.shape
+    assert B == LANES and NW % 128 == 0
+    NB2 = NW // 128 + 1
+    NT = -(-max_steps // TILE)
+
+    stream3 = np.zeros((B, NB2, 128), np.uint32)
+    stream3[:, :NW // 128, :] = stream_words.reshape(B, NW // 128, 128)
+    lc = np.broadcast_to(np.pad(PI.LCONST, (0, 96)), (B, 128)).copy()
+    dc = np.broadcast_to(np.pad(PI.DCONST, (0, 96)), (B, 128)).copy()
+
+    fn = _compiled(NB2, NT, interpret)
+    tokens3, err, outcnt, end_bit, ns = fn(
+        jnp.asarray(stream3), jnp.asarray(_bcast_col(bit0, np.int32)),
+        jnp.asarray(_bcast_col(nbits, np.int32)), jnp.asarray(tll),
+        jnp.asarray(td), jnp.asarray(lc), jnp.asarray(dc),
+        jnp.asarray(_bcast_col(active.astype(np.int32), np.int32)))
+
+    ns_i = int(np.asarray(ns)[0, 0])
+    nt_used = max(1, -(-ns_i // TILE)) if ns_i else 0
+    tokens3_np = np.asarray(tokens3[:nt_used]) if nt_used else \
+        np.zeros((0, B, TILE), np.uint32)
+    err_np = np.asarray(err)[:, 0] != 0
+    outcnt_np = np.asarray(outcnt)[:, 0]
+    end_np = np.asarray(end_bit)[:, 0]
+    return ("tiled", tokens3_np), err_np, outcnt_np, end_np, ns_i

@@ -1,0 +1,85 @@
+"""Drive the lockstep Pallas inflate on the real chip: bit-exactness vs
+zlib + true-sync timing of the device entropy stage and the host apply.
+
+Usage: python tools/bench_inflate.py [n_blocks] [block_kb] [level]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import numpy as np
+import zlib
+
+
+def corpus_blocks(n, kb, seed=0):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import build_corpus
+
+    data = build_corpus(max(1, n * kb // 1024 + 1))
+    return [data[i * kb * 1024:(i + 1) * kb * 1024] for i in range(n)]
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    kb = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    lvl = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    blocks = corpus_blocks(n, kb)
+    payloads = []
+    for b in blocks:
+        co = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+        payloads.append(co.compress(b) + co.flush())
+    hints = [len(b) for b in blocks]
+    total = sum(hints)
+    csize = sum(len(p) for p in payloads)
+    print(f"{n} blocks x {kb}KB, level {lvl}, ratio {total/csize:.2f}",
+          flush=True)
+
+    from qatzip_tpu.ops import deflate_decode as dd
+
+    t0 = time.perf_counter()
+    res = dd.inflate_batch(payloads, hints)
+    t_first = time.perf_counter() - t0
+    nfail = sum(1 for r in res if r is None)
+    nbad = sum(1 for r, b in zip(res, blocks) if r is not None and r[0] != b)
+    print(f"first call {t_first*1e3:.0f} ms; failed={nfail} mismatched={nbad}",
+          flush=True)
+    assert nbad == 0, "BIT-EXACTNESS VIOLATION"
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = dd.inflate_batch(payloads, hints)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"inflate_batch e2e: {dt*1e3:.1f} ms -> {total/dt/1e9:.3f} GB/s "
+          f"(incl. host apply + D2H)", flush=True)
+
+    # device-stage timing alone: time decode_blocks via a wrapped run
+    import qatzip_tpu.ops.pallas_inflate as PI
+    calls = {}
+    orig = PI.decode_blocks
+
+    def timed(*a, **k):
+        t0 = time.perf_counter()
+        r = orig(*a, **k)
+        calls.setdefault("t", []).append(time.perf_counter() - t0)
+        return r
+    PI.decode_blocks = timed
+    try:
+        t0 = time.perf_counter()
+        res = dd.inflate_batch(payloads, hints)
+        dt = time.perf_counter() - t0
+    finally:
+        PI.decode_blocks = orig
+    dev_t = sum(calls.get("t", []))
+    print(f"decode_blocks (device stage + D2H + readback): {dev_t*1e3:.1f} ms"
+          f" -> {total/dev_t/1e9:.3f} GB/s; host apply+rest: "
+          f"{(dt-dev_t)*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
