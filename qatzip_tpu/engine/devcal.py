@@ -125,9 +125,35 @@ def calibrate(sample_bytes: int = 4 << 20, level: int = 1,
         from qatzip_tpu.ops.device_codecs import DeflateDeviceCodec
 
         dev = DeflateDeviceCodec()
-        _, rec["dev_comp_gbps"] = timed(dev.compress_chunks, chunks, p)
-        _, rec["dev_decomp_gbps"] = timed(dev.decompress_chunks, payloads,
-                                          hints, p)
+        # measure both candidate D2H formats; the faster one becomes the
+        # recorded default for this host (ops/device_codecs.py policy)
+        os.environ["QATZIP_TPU_PACK"] = "0"
+        try:
+            _, rec["dev_comp_gbps"] = timed(dev.compress_chunks, chunks, p)
+            os.environ["QATZIP_TPU_PACK"] = "1"
+            comp_pk, rec["dev_comp_packed_gbps"] = timed(
+                dev.compress_chunks, chunks, p)
+        finally:
+            os.environ.pop("QATZIP_TPU_PACK", None)
+        rec["pack_wins"] = (rec["dev_comp_packed_gbps"]
+                            > rec["dev_comp_gbps"])
+        if rec["pack_wins"]:
+            rec["dev_comp_gbps"] = rec["dev_comp_packed_gbps"]
+        # decompress: end-to-end, plus the entropy-stage kernel compute
+        # alone (captured rounds replayed with only a scalar readback)
+        from qatzip_tpu.ops import pallas_inflate_kernel as K
+
+        _, rec["dev_decomp_gbps"] = timed(dev.decompress_chunks,
+                                          payloads, hints, p)
+        calls: list = []
+        K._capture = calls
+        try:
+            dev.decompress_chunks(payloads, hints, p)
+        finally:
+            K._capture = None
+        if calls:
+            rec["dev_decomp_compute_gbps"] = sample_bytes / max(
+                K.timed_replay(calls, reps=3), 1e-9) / 1e9
     except Exception as exc:  # no device / kernel failure -> CPU-only
         rec["device_error"] = repr(exc)
         rec["dev_comp_gbps"] = 0.0

@@ -37,6 +37,10 @@ _lib.qz_deflate_candidates.restype = ctypes.c_int64
 _lib.qz_deflate_candidates.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int64, ctypes.c_int]
+_lib.qz_deflate_candidates_packed.restype = ctypes.c_int64
+_lib.qz_deflate_candidates_packed.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
 _lib.qz_inflate.restype = ctypes.c_int64
 _lib.qz_inflate.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                             ctypes.c_void_p, ctypes.c_int64,
@@ -251,6 +255,27 @@ def deflate_candidates(data, cand_u16, level: int = 1) -> bytes:
                                    buf, cap, level)
     if n < 0:
         raise ValueError("deflate_candidates failed")
+    return buf.raw[:n]
+
+
+def deflate_candidates_packed(data, packed_u8, level: int = 1) -> bytes:
+    """Hybrid deflate from the PACKED candidate format (0.75 B per input
+    byte of D2H instead of 2; see match_finder.find_candidates_packed):
+    native unpack + verify/extend/parse/entropy-code in one call."""
+    import numpy as np
+
+    p, dn, keep = _addr(data)
+    pk = np.ascontiguousarray(packed_u8, np.uint8)
+    packed_n = pk.size * 4 // 3  # padded candidate width
+    if packed_n < dn:
+        raise ValueError("packed candidate array shorter than data")
+    cap = dn + (dn >> 3) + 1024
+    buf = ctypes.create_string_buffer(cap)
+    n = _lib.qz_deflate_candidates_packed(
+        p, dn, pk.ctypes.data_as(ctypes.c_void_p), packed_n, buf, cap,
+        level)
+    if n < 0:
+        raise ValueError("deflate_candidates_packed failed")
     return buf.raw[:n]
 
 

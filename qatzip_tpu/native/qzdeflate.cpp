@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <vector>
 
 #include <zlib.h>
 
@@ -710,6 +711,47 @@ int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
     }
     if (!ok) return -1;
     return bw.finish(dst);
+}
+
+// Decode the packed candidate format (ops/match_finder.py round-4 D2H cut)
+// back into the uint16-per-position array: nibble stream (n/2 bytes,
+// 0=none, 1=repeat-previous, 2=exception, 3..15=dist 1..13) followed by
+// the per-64-position exception stream (8 uint16 slots per chunk).
+static void unpack_candidates(const uint8_t* packed, int64_t n,
+                              uint16_t* out) {
+    // 2-bit classes (n/4 bytes): 0 none, 1 repeat-previous, 2 exception,
+    // 3 dist 1; then per-64-position chunk, 16 u16 exception slots (n/2 B)
+    const uint8_t* cls2 = packed;
+    const uint8_t* exc8 = packed + n / 4;
+    uint16_t prev = 0;
+    for (int64_t c = 0; c < n / 64; c++) {
+        const uint8_t* slot = exc8 + c * 32;  // 16 u16 LE per chunk
+        int used = 0;
+        for (int64_t j = 0; j < 64; j++) {
+            int64_t p = c * 64 + j;
+            uint32_t cls = (cls2[p >> 2] >> ((p & 3) * 2)) & 3;
+            uint16_t d;
+            if (cls == 0) d = 0;
+            else if (cls == 1) d = prev;
+            else if (cls == 2) {
+                d = (uint16_t)(slot[used * 2] | (slot[used * 2 + 1] << 8));
+                used++;
+            } else d = 1;
+            out[p] = d;
+            if (d) prev = d;
+        }
+    }
+}
+
+int64_t qz_deflate_candidates_packed(const uint8_t* src, int64_t n,
+                                     const uint8_t* packed, int64_t packed_n,
+                                     uint8_t* dst, int64_t cap, int level) {
+    // packed_n: padded candidate width (multiple of 64, >= n)
+    if (n == 0) return qz_deflate_candidates(src, n, nullptr, dst, cap, level);
+    static thread_local std::vector<uint16_t> cand;
+    if ((int64_t)cand.size() < packed_n) cand.resize(packed_n);
+    unpack_candidates(packed, packed_n, cand.data());
+    return qz_deflate_candidates(src, n, cand.data(), dst, cap, level);
 }
 
 // Compress src[0..n) into a complete raw-deflate stream (final block has

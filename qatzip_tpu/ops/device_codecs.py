@@ -77,6 +77,24 @@ class DeflateDeviceCodec:
         depth, _ = de.level_params(params.comp_lvl)
         mesh = local_mesh()
         ndev = mesh.devices.size if mesh is not None else 1
+        # Packed candidate D2H (0.75 B/input byte vs 2; the QAT analog
+        # returns compressed bytes, ratio x smaller — src/qatzip.c:1610).
+        # Exceptions above the side-stream budget degrade to guesses, so
+        # packing trades a few % of compressed size for 2.7x less D2H:
+        # right on a bandwidth-starved link, wrong on PCIe.  Policy:
+        # QATZIP_TPU_PACK=1/0 overrides; otherwise the devcal record's
+        # measured winner decides (engine/devcal.py).
+        import os as _os
+
+        env_pack = _os.environ.get("QATZIP_TPU_PACK", "")
+        if env_pack in ("0", "1"):
+            use_packed = env_pack == "1"
+        else:
+            from qatzip_tpu.engine import devcal as _devcal
+
+            use_packed = bool(_devcal._load().get("pack_wins", False))
+        use_packed = use_packed and int(
+            _os.environ.get("QATZIP_TPU_MF_STRIDE", "1")) == 1
 
         bsz = self.MAX_BATCH
         if mesh is not None and len(chunks) >= 2 * ndev:
@@ -107,7 +125,8 @@ class DeflateDeviceCodec:
                     from jax.sharding import NamedSharding, PartitionSpec as P
                     dj = jax.device_put(dj, NamedSharding(mesh, P("block", None)))
                     lj = jax.device_put(lj, NamedSharding(mesh, P("block")))
-                cand = mf.find_candidates(dj, lj, depth)
+                cand = (mf.find_candidates_packed(dj, lj, depth)
+                        if use_packed else mf.find_candidates(dj, lj, depth))
                 pending.append((batch, cand))
             except Exception:
                 health.record_failure()
@@ -131,8 +150,12 @@ class DeflateDeviceCodec:
 
             def assemble(i_c):
                 i, c = i_c
-                payload = native.deflate_candidates(c, cand_np[i],
-                                                    params.comp_lvl)
+                if use_packed:
+                    payload = native.deflate_candidates_packed(
+                        c, cand_np[i], params.comp_lvl)
+                else:
+                    payload = native.deflate_candidates(c, cand_np[i],
+                                                        params.comp_lvl)
                 return CompressedChunk(payload, _chunk_checksum(c, params),
                                        len(c))
 

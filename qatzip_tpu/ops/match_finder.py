@@ -159,6 +159,73 @@ def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
     return dist_pos.astype(jnp.uint16)
 
 
+# ---------------------------------------------------------------------------
+# Packed candidate format (round-4 D2H cut): the uint16-per-position stream
+# costs 2 B of device->host traffic per input byte — the QAT ASIC returns
+# *compressed* bytes, ratio x smaller than the input (reference
+# src/qatzip.c:1610-1718).  This packs to a fixed 0.75 B/B:
+#   2-bit class per position (n/4 bytes):
+#     0 = no candidate; 1 = same distance as previous position (run
+#     continuation — ~75% of positions on text); 2 = exception (distance
+#     in the side stream); 3 = distance 1
+#   exception stream (n/2 bytes): per 64-position chunk, up to 16 uint16
+#     distances in position order; overflowed exceptions (2.7% measured on
+#     zipf text, the worst class) degrade to "no candidate" consistently
+#     on both sides; the native parser's neighbour probe recovers most.
+# All elementwise + within-chunk cumsum + 16 masked reduces — no extra
+# sort, so device compute is barely touched.  Decoded by
+# unpack_candidates (native/qzdeflate.cpp).
+# ---------------------------------------------------------------------------
+EXC_PER_CHUNK = 16
+CHUNK_P = 64
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("depth", "use_pallas", "stride"))
+def _find_candidates_packed_impl(data, lengths, depth, use_pallas, stride):
+    import jax.numpy as jnp
+
+    d = _find_candidates_impl(data, lengths, depth, use_pallas,
+                              stride).astype(jnp.uint32)
+    B, n = d.shape
+    prev = jnp.concatenate([jnp.zeros((B, 1), d.dtype), d[:, :-1]], axis=1)
+    isrep = (d == prev) & (d != 0)
+    cls = jnp.where(d == 0, 0,
+                    jnp.where(isrep, 1,
+                              jnp.where(d == 1, 3, 2))).astype(jnp.uint32)
+    nc = n // CHUNK_P
+    f3 = (cls == 2).reshape(B, nc, CHUNK_P)
+    lidx = jnp.cumsum(f3.astype(jnp.int32), axis=-1) - 1
+    keep3 = f3 & (lidx < EXC_PER_CHUNK)
+    # overflowed exceptions degrade to "repeat previous" rather than
+    # "none": the native parser verifies candidates by byte compare, so a
+    # stale-distance guess can only recover matches, never corrupt
+    cls = jnp.where((cls == 2) & ~keep3.reshape(B, n), 1, cls)
+    d3 = d.reshape(B, nc, CHUNK_P)
+    exc_cols = []
+    for s in range(EXC_PER_CHUNK):
+        exc_cols.append(jnp.sum(
+            jnp.where(keep3 & (lidx == s), d3, 0), axis=-1))
+    exc = jnp.stack(exc_cols, axis=-1).astype(jnp.uint16)  # [B, nc, 16]
+    two = (cls[:, 0::4] | (cls[:, 1::4] << jnp.uint32(2))
+           | (cls[:, 2::4] << jnp.uint32(4))
+           | (cls[:, 3::4] << jnp.uint32(6))).astype(jnp.uint8)
+    exc8 = jax.lax.bitcast_convert_type(
+        exc.reshape(B, nc * EXC_PER_CHUNK), jnp.uint8).reshape(B, -1)
+    return jnp.concatenate([two, exc8], axis=1)  # u8 [B, 3n/4]
+
+
+def find_candidates_packed(data: jnp.ndarray, lengths: jnp.ndarray,
+                           depth: int = DEPTH,
+                           use_pallas: bool | None = None) -> jnp.ndarray:
+    """Packed variant of find_candidates: u8[B, 3n/4] per the format above
+    (stride mode is not packed — the stride knob already trades ratio)."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    return _find_candidates_packed_impl(data, lengths, depth,
+                                        bool(use_pallas), 1)
+
+
 def find_candidates_batch(data_np: np.ndarray, lengths_np: np.ndarray,
                           depth: int = DEPTH, mesh=None) -> np.ndarray:
     """Host wrapper: upload, run, return uint16[B, n] distances.

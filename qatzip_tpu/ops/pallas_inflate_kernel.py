@@ -4,15 +4,20 @@ Construct discipline (every dynamic-addressing form crashes Mosaic on this
 target — tools/probe_inflate_step*.py):
   * gathers: ONLY jnp.take_along_axis over [128, 128] with a full-width
     index (563 ns measured for a full 8-gather decode step);
-  * window refill: one-hot masked ACCUMULATION over statically-unrolled
-    stream rows (pure elementwise; no dynamic slices, no per-lane DMA),
-    run adaptively when any lane nears its window edge;
+  * refills: one-hot masked ACCUMULATION over statically-unrolled rows
+    (pure elementwise; no dynamic slices, no per-lane DMA), predicated
+    with pl.when.  Two levels — a 1152-word superwindow rebuilt rarely
+    from the stream array, and the 128-word gather window rebuilt from
+    the superwindow — so stream VMEM traffic is ~20x lower than a
+    single-level refill (v1 read the whole 8.5MB stream per refill);
   * token output: select-accumulate into a register tile, flushed by DMA
     to the HBM output at a major-axis offset (proven in probe v4);
-  * state: [128, 128] column-constant vectors (blocks along sublanes).
+  * state: [128, 128] column-constant i32 vectors (blocks along sublanes;
+    i1 loop carries trip a Mosaic layout ICE).
 
 Layouts:
   stream3 u32[128, NB2, 128]   — per-block stream words, 128-word rows
+  superwindow u32[128, 18*64]  — words [64*16Q, 64*(16Q+18)) per block
   window  u32[128, 128]        — words [64q, 64q+128) per block
   tll/td  u32[128, 512]        — packed table regions (4 slabs each)
   tokens  u32[NT, 128, 128]    — token(step s, block b) = [s//128, b, s%128]
@@ -29,6 +34,7 @@ LANES = PI.LANES
 TILE = 128            # steps per token tile (one DMA per tile)
 CHUNK = 32            # steps per refill-check (32*49 bits < 2048 budget)
 REFILL_THRESH = 2048  # refill when any lane's window-relative bits exceed
+SWROWS = 18           # superwindow rows of 64 words
 
 
 def _mk_kernel(NB2: int, NT: int):
@@ -40,37 +46,44 @@ def _mk_kernel(NB2: int, NT: int):
     _u = jnp.uint32
     R = LANES
 
-    def col_iota():
-        return jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-
     def kernel(stream_ref, bit0_ref, nbits_ref, tll_ref, td_ref,
                lc_ref, dc_ref, active_ref,
                tok_ref, err_ref, cnt_ref, end_ref, ns_ref,
-               tile_scratch, sem):
+               tile_scratch, win_ref, sw_ref, qv_ref, Qv_ref, sem):
 
-        def refill(bitpos):
-            """Rebuild every lane's window at base 64*(bitpos>>11) words.
-            Statically unrolled one-hot accumulation over stream rows."""
-            q = bitpos >> 11
-            r = q >> 1
-            odd = (q & 1) == 1
-            lo = jnp.zeros((R, 64), jnp.int32)
-            hi = jnp.zeros((R, 64), jnp.int32)
-            lo1 = jnp.zeros((R, 64), jnp.int32)
+        def super_refill(bitpos):
+            """Rebuild the superwindow at 1024-word-aligned base; one pass
+            over the stream rows, 18 destination-row selects each."""
+            Q2 = (bitpos >> 11) >> 4
+            base = Q2 << 4  # in 64-word rows
+            acc = [jnp.zeros((R, 64), jnp.int32) for _ in range(SWROWS)]
             for b in range(NB2):
                 row = stream_ref[:, b, :].astype(jnp.int32)
-                eq = (r == b)[:, :64]
-                eq1 = (r == b - 1)[:, :64]
-                lo = jnp.where(eq, row[:, :64], lo)
-                hi = jnp.where(eq, row[:, 64:], hi)
-                lo1 = jnp.where(eq1, row[:, :64], lo1)
-            first = jnp.where(odd[:, :64], hi, lo)
-            second = jnp.where(odd[:, :64], lo1, hi)
-            return (jnp.concatenate([first, second], axis=1).astype(_u), q)
+                lo, hi = row[:, :64], row[:, 64:]
+                # destination row j holds 64-word row base+j; stream row b
+                # supplies 64-word rows 2b (lo) and 2b+1 (hi)
+                for j in range(SWROWS):
+                    acc[j] = jnp.where((base + j == 2 * b)[:, :64], lo,
+                                       jnp.where((base + j == 2 * b + 1)
+                                                 [:, :64], hi, acc[j]))
+            sw_ref[:] = jnp.concatenate(acc, axis=1).astype(_u)
+            Qv_ref[:] = Q2
 
-        def mk_peek(win, q):
+        def win_refill(bitpos):
+            q2 = bitpos >> 11
+            r = q2 - (Qv_ref[:] << 4)     # 64-word row within superwindow
+            first = jnp.zeros((R, 64), _u)
+            second = jnp.zeros((R, 64), _u)
+            for j in range(SWROWS):
+                swrow = sw_ref[:, j * 64:(j + 1) * 64]
+                first = jnp.where((r == j)[:, :64], swrow, first)
+                second = jnp.where((r == j - 1)[:, :64], swrow, second)
+            win_ref[:] = jnp.concatenate([first, second], axis=1)
+            qv_ref[:] = q2
+
+        def mk_peek(win, qv):
             def peek(bitpos):
-                rel = bitpos - (q << 11)
+                rel = bitpos - (qv << 11)
                 wi = jnp.clip(rel >> 5, 0, 126)
                 sh = (rel & 31).astype(_u)
                 w0 = jnp.take_along_axis(win, wi, axis=1)
@@ -78,26 +91,27 @@ def _mk_kernel(NB2: int, NT: int):
                 return (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
             return peek
 
-        def mk_cell(tbl_ref):
-            s0 = tbl_ref[:, 0:128]
-            s1 = tbl_ref[:, 128:256]
-            s2 = tbl_ref[:, 256:384]
-            s3 = tbl_ref[:, 384:512]
+        # hoist table slabs and constant rows as values (one load each)
+        ll_s = [tll_ref[:, k * 128:(k + 1) * 128] for k in range(4)]
+        d_s = [td_ref[:, k * 128:(k + 1) * 128] for k in range(4)]
+        lc = lc_ref[:]
+        dc = dc_ref[:]
 
+        def mk_cell(slabs):
             def fetch(idx):
                 w = idx & 127
-                g0 = jnp.take_along_axis(s0, w, axis=1)
-                g1 = jnp.take_along_axis(s1, w, axis=1)
-                g2 = jnp.take_along_axis(s2, w, axis=1)
-                g3 = jnp.take_along_axis(s3, w, axis=1)
+                g0 = jnp.take_along_axis(slabs[0], w, axis=1)
+                g1 = jnp.take_along_axis(slabs[1], w, axis=1)
+                g2 = jnp.take_along_axis(slabs[2], w, axis=1)
+                g3 = jnp.take_along_axis(slabs[3], w, axis=1)
                 hi = idx >> 7
                 return jnp.where(hi == 0, g0,
                                  jnp.where(hi == 1, g1,
                                            jnp.where(hi == 2, g2, g3)))
             return fetch
 
-        lc = lc_ref[:]
-        dc = dc_ref[:]
+        ll_cell = mk_cell(ll_s)
+        d_cell = mk_cell(d_s)
 
         def lconst(i):
             return jnp.take_along_axis(lc, i & 31, axis=1)
@@ -105,19 +119,7 @@ def _mk_kernel(NB2: int, NT: int):
         def dconst(i):
             return jnp.take_along_axis(dc, i & 31, axis=1)
 
-        ll_cell = mk_cell(tll_ref)
-        d_cell = mk_cell(td_ref)
-        lanecol = col_iota()
-
-        bit0 = bit0_ref[:]
-        active = active_ref[:] != 0
-        win0, q0 = refill(bit0)
-        # carried state uses i32 masks: i1 vectors in scf loop carries
-        # trip a Mosaic layout ICE on this target
-        st0 = (bit0, (~active).astype(jnp.int32),
-               jnp.zeros((R, 128), jnp.int32),
-               jnp.zeros((R, 128), jnp.int32),
-               jnp.full((R, 128), -1, jnp.int32))
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
         def step_i32(peek, st_i):
             bitpos, done_i, err_i, outcnt, end_bit = st_i
@@ -127,23 +129,35 @@ def _mk_kernel(NB2: int, NT: int):
             return tok, (st2[0], st2[1].astype(jnp.int32),
                          st2[2].astype(jnp.int32), st2[3], st2[4])
 
+        bit0 = bit0_ref[:]
+        active = active_ref[:] != 0
+        super_refill(bit0)
+        win_refill(bit0)
+        st0 = (bit0, (~active).astype(jnp.int32),
+               jnp.zeros((R, 128), jnp.int32),
+               jnp.zeros((R, 128), jnp.int32),
+               jnp.full((R, 128), -1, jnp.int32))
+
         def tile_body(carry):
-            t, st, win, q, _alldone = carry
+            t, st, _alldone = carry
             tile = jnp.zeros((R, TILE), _u)
 
             def chunk_body(c, inner):
-                st, win, q, tile = inner
+                st, tile = inner
                 bitpos = st[0]
-                need = jnp.max(bitpos - (q << 11))
+                sup_gap = jnp.max((bitpos >> 11) - (Qv_ref[:] << 4))
 
-                def do_refill():
-                    return refill(bitpos)
+                @pl.when(sup_gap >= SWROWS - 2)
+                def _():
+                    super_refill(bitpos)
+                    win_refill(bitpos)
 
-                def no_refill():
-                    return win, q
-                win, q = jax.lax.cond(need > REFILL_THRESH,
-                                      do_refill, no_refill)
-                peek = mk_peek(win, q)
+                @pl.when(jnp.max(bitpos - (qv_ref[:] << 11))
+                         > REFILL_THRESH)
+                def _():
+                    win_refill(bitpos)
+
+                peek = mk_peek(win_ref[:], qv_ref[:])
 
                 def step_body(k, inner2):
                     st, tile = inner2
@@ -151,10 +165,10 @@ def _mk_kernel(NB2: int, NT: int):
                     tile = jnp.where(lanecol == c * CHUNK + k, tok, tile)
                     return st, tile
                 st, tile = jax.lax.fori_loop(0, CHUNK, step_body, (st, tile))
-                return st, win, q, tile
+                return st, tile
 
-            st, win, q, tile = jax.lax.fori_loop(
-                0, TILE // CHUNK, chunk_body, (st, win, q, tile))
+            st, tile = jax.lax.fori_loop(
+                0, TILE // CHUNK, chunk_body, (st, tile))
 
             # flush the tile to HBM
             tile_scratch[:] = tile
@@ -164,14 +178,14 @@ def _mk_kernel(NB2: int, NT: int):
 
             _, done_i, err_i, _, _ = st
             alldone = jnp.min(done_i | err_i)  # scalar i32: 1 iff all done
-            return t + 1, st, win, q, alldone
+            return t + 1, st, alldone
 
         def tile_cond(carry):
-            t, _st, _w, _q, alldone = carry
+            t, _st, alldone = carry
             return (t < NT) & (alldone == 0)
 
-        t_fin, st, _w, _q, _ad = jax.lax.while_loop(
-            tile_cond, tile_body, (0, st0, win0, q0, 0))
+        t_fin, st, _ad = jax.lax.while_loop(
+            tile_cond, tile_body, (0, st0, 0))
 
         bitpos, done_i, err_i, outcnt, end_bit = st
         err = (err_i != 0) | (active & (done_i == 0)) \
@@ -212,7 +226,11 @@ def _compiled(NB2: int, NT: int, interpret: bool = False):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((R, TILE), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((R, TILE), jnp.uint32),   # tile
+                            pltpu.VMEM((R, 128), jnp.uint32),    # window
+                            pltpu.VMEM((R, SWROWS * 64), jnp.uint32),
+                            pltpu.VMEM((R, 128), jnp.int32),     # qv
+                            pltpu.VMEM((R, 128), jnp.int32),     # Qv
                             pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
@@ -223,6 +241,28 @@ def _compiled(NB2: int, NT: int, interpret: bool = False):
 
 def _bcast_col(v: np.ndarray, dtype) -> np.ndarray:
     return np.repeat(v.astype(dtype)[:, None], 128, axis=1)
+
+
+# -- compute-timing hooks (devcal / tools): capture each round's compiled
+# call + args so the entropy-stage kernel can be re-timed with only the
+# tiny nsteps readback (tokens stay on device; D2H is environmental) -----
+_capture: list | None = None
+
+
+def timed_replay(calls, reps: int = 3) -> float:
+    """Re-run captured (fn, args) rounds; returns mean seconds per full
+    pass over all rounds, true-sync via the scalar nsteps output."""
+    import time
+
+    for fn, args in calls:  # warm
+        r = fn(*args)
+    np.asarray(r[4])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for fn, args in calls:
+            r = fn(*args)
+        np.asarray(r[4])
+    return (time.perf_counter() - t0) / reps
 
 
 def decode_pallas(stream_words: np.ndarray, bit0: np.ndarray,
@@ -244,11 +284,13 @@ def decode_pallas(stream_words: np.ndarray, bit0: np.ndarray,
     dc = np.broadcast_to(np.pad(PI.DCONST, (0, 96)), (B, 128)).copy()
 
     fn = _compiled(NB2, NT, interpret)
-    tokens3, err, outcnt, end_bit, ns = fn(
-        jnp.asarray(stream3), jnp.asarray(_bcast_col(bit0, np.int32)),
-        jnp.asarray(_bcast_col(nbits, np.int32)), jnp.asarray(tll),
-        jnp.asarray(td), jnp.asarray(lc), jnp.asarray(dc),
-        jnp.asarray(_bcast_col(active.astype(np.int32), np.int32)))
+    args = (jnp.asarray(stream3), jnp.asarray(_bcast_col(bit0, np.int32)),
+            jnp.asarray(_bcast_col(nbits, np.int32)), jnp.asarray(tll),
+            jnp.asarray(td), jnp.asarray(lc), jnp.asarray(dc),
+            jnp.asarray(_bcast_col(active.astype(np.int32), np.int32)))
+    if _capture is not None:
+        _capture.append((fn, args))
+    tokens3, err, outcnt, end_bit, ns = fn(*args)
 
     ns_i = int(np.asarray(ns)[0, 0])
     nt_used = max(1, -(-ns_i // TILE)) if ns_i else 0

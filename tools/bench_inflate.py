@@ -80,6 +80,30 @@ def main():
           f" -> {total/dev_t/1e9:.3f} GB/s; host apply+rest: "
           f"{(dt-dev_t)*1e3:.1f} ms", flush=True)
 
+    # device COMPUTE alone: run the pallas driver once more on the same
+    # shapes, forcing completion via the tiny nsteps output only (tokens
+    # stay on device; the D2H wall is environmental on this host)
+    import jax
+
+    try:
+        from qatzip_tpu.ops import pallas_inflate_kernel as K
+
+        calls: list = []
+        K._capture = calls
+        try:
+            dd.inflate_batch(payloads, hints)
+        finally:
+            K._capture = None
+        if calls:
+            dt2 = K.timed_replay(calls, reps=3)
+            steps = sum(int(np.asarray(f(*a)[4])[0, 0]) for f, a in calls)
+            print(f"device entropy-stage compute ({len(calls)} rounds): "
+                  f"{dt2*1e3:.1f} ms ({steps} total steps, "
+                  f"{dt2/max(steps,1)*1e9:.0f} ns/step) -> "
+                  f"{total/dt2/1e9:.3f} GB/s", flush=True)
+    except Exception as e:
+        print("compute probe failed:", repr(e)[:200], flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -27,6 +27,8 @@ def mesh_rows():
 
 
 def _mesh_rows_inproc():
+    import time
+
     from qatzip_tpu.parallel import shard
 
     out = {}
@@ -34,6 +36,77 @@ def _mesh_rows_inproc():
         mesh = shard.make_mesh(ndev)
         out[f"mesh{ndev}"] = {k: (round(v, 3) if isinstance(v, float) else v)
                               for k, v in shard.scaling_report(mesh).items()}
+    # device-compute row: the kernel-only measurement judged against the
+    # CORE-capped ideal — on virtual CPU devices the 8-way mesh shares 2
+    # physical cores, so the honest sharding-efficiency question is "does
+    # the SPMD dispatch reach the hardware ceiling", not "does it reach
+    # 8x" (it cannot; on real chips each mesh device is its own silicon)
+    cores = os.cpu_count() or 2
+    m8 = out["mesh8"]
+    ideal = m8["single_device_Bps"] * min(8, cores)
+    out["mesh8_device_compute"] = {
+        "devices": 8,
+        "physical_cores": cores,
+        "mesh_Bps": m8["mesh_Bps"],
+        "core_capped_ideal_Bps": round(ideal, 3),
+        "efficiency_vs_core_capped_ideal": round(m8["mesh_Bps"] / ideal, 3),
+        "note": "kernel-only (no host assembly); efficiency vs the "
+                "physical-core ceiling isolates SPMD sharding overhead "
+                "from the host's core count",
+    }
+    # Amdahl decomposition of the hybrid pipeline on the mesh: kernel-only
+    # vs kernel+host-assembly wall time for the same 64-chunk batch
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qatzip_tpu.ops import match_finder as mf
+    from qatzip_tpu.native import qzcore as native
+
+    mesh = shard.make_mesh(8)
+    rng = np.random.default_rng(0)
+    words = [b"the", b"quick", b"brown", b"fox", b"hybrid", b"assembly"]
+    blob = b" ".join(words[i] for i in rng.integers(0, len(words), 200000))
+    n = 65536
+    chunks = [blob[i * n:(i + 1) * n] for i in range(16)]
+    data = np.zeros((16, n + 8), np.uint8)
+    for i, c in enumerate(chunks):
+        data[i, :len(c)] = np.frombuffer(c, np.uint8)
+    lens = np.full(16, n, np.int32)
+    dj = jax.device_put(jnp.asarray(data), NamedSharding(mesh, P("block", None)))
+    lj = jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P("block")))
+
+    def kernel_only():
+        return np.asarray(mf.find_candidates(dj, lj))
+
+    cand = kernel_only()
+    t0 = time.perf_counter()
+    cand = kernel_only()
+    t_k = time.perf_counter() - t0
+    from qatzip_tpu.engine.cpu_backend import _map_chunks
+
+    def full():
+        c = kernel_only()
+        return _map_chunks(
+            lambda ic: native.deflate_candidates(ic[1], c[ic[0]], 1),
+            list(enumerate(chunks)))
+
+    full()
+    t0 = time.perf_counter()
+    full()
+    t_f = time.perf_counter() - t0
+    out["amdahl_hybrid"] = {
+        "batch_bytes": 16 * n,
+        "kernel_s": round(t_k, 4),
+        "kernel_plus_host_assembly_s": round(t_f, 4),
+        "host_serial_fraction": round(max(t_f - t_k, 0.0) / t_f, 3),
+        "note": "host assembly (native candidate parse + entropy code) "
+                "overlaps the next batch's device dispatch in the engine "
+                "(device_codecs submit-all-then-assemble); this row bounds "
+                "the serial host term the overlap must hide",
+    }
     return out
 
 
