@@ -207,60 +207,71 @@ def _resolve(fetch_cell, bits, sub_cell_base):
     return jnp.where(is_sub, e2, e)
 
 
-def decode_step(peek, ll_cell, d_cell, lconst, dconst, st):
+def decode_step(peek2, ll_cell, d_cell, st):
     """One lockstep symbol decode.  ``st`` = (bitpos i32, done b, err b,
-    outcnt i32, end_bit i32); ``peek(bitpos) -> u32`` returns the next 32
-    stream bits; ``*_cell(cell_idx) -> u32`` fetch packed table cells;
-    ``lconst/dconst(idx) -> u32`` fetch the shared base/extra constants.
-    Returns (token u32, new_st)."""
+    outcnt i32, end_bit i32); ``peek2(bitpos) -> (u32, u32)`` returns the
+    next 64 stream bits as two words (ONE gather level per step — the
+    distance code's bits derive arithmetically); ``*_cell(cell_idx) ->
+    u32`` fetch packed table cells.  Length/distance base+extra come from
+    closed forms (RFC1951's tables are geometric), removing two dependent
+    gather levels.  Returns (token u32, new_st)."""
     import jax.numpy as jnp
 
     bitpos, done, err, outcnt, end_bit = st
     _u = jnp.uint32
 
-    bits = peek(bitpos)
-    e = _resolve(ll_cell, bits, 256)
+    b0, b1 = peek2(bitpos)
+    e = _resolve(ll_cell, b0, 256)
     clen = (e & _u(15)).astype(jnp.int32)
     kind = ((e >> _u(4)) & _u(3)).astype(jnp.int32)
     bad = (e == _u(0)) | (kind == 3)  # unresolved subptr = corrupt stream
     islit = (kind == 0) & ~bad
     islen = kind == 1
     iseob = kind == 2
-    lc = lconst(((e >> _u(6)) & _u(31)).astype(jnp.int32))
-    eb = jnp.where(islen, (lc & _u(15)).astype(jnp.int32), 0)
-    lex = ((bits >> clen.astype(_u)) & _mask(eb)).astype(jnp.int32)
-    mlen = (lc >> _u(4)).astype(jnp.int32) + lex
-    bp2 = bitpos + clen + eb
+    sym = ((e >> _u(6)) & _u(0xFF)).astype(jnp.int32)
+    # length base/extra closed form: sym 0..27 -> e=(max(sym,4)-4)>>2,
+    # base = sym<4 ? sym+3 : ((4+(sym&3))<<e)+3; sym 28 -> 258, e=0
+    # clamp: literal lanes flow a byte through sym; an unclamped shift
+    # count >= 32 is undefined
+    e_len = jnp.minimum(jnp.maximum(sym - 4, 0) >> 2, 5)
+    lbase = jnp.where(sym < 4, sym + 3, ((4 + (sym & 3)) << e_len) + 3)
+    e_len = jnp.where(sym >= 28, 0, e_len)
+    lbase = jnp.where(sym >= 28, 258, lbase)
+    eb = jnp.where(islen, e_len, 0)
+    lex = ((b0 >> clen.astype(_u)) & _mask(eb)).astype(jnp.int32)
+    mlen = lbase + lex
+    used1 = clen + eb  # <= 20 bits
 
-    bits2 = peek(bp2)
+    u1 = used1.astype(_u)
+    bits2 = (b0 >> u1) | ((b1 << (_u(31) - u1)) << _u(1))
     ed = _resolve(d_cell, bits2, 256)
     dclen = (ed & _u(15)).astype(jnp.int32)
-    dkind = ((ed >> _u(4)) & _u(3)).astype(jnp.int32)
-    dbad = (ed == _u(0)) | (dkind != 0)
-    dc = dconst(((ed >> _u(6)) & _u(31)).astype(jnp.int32))
-    deb = (dc & _u(15)).astype(jnp.int32)
+    dbad = (ed == _u(0)) | (((ed >> _u(4)) & _u(3)) != 0)
+    ds = ((ed >> _u(6)) & _u(31)).astype(jnp.int32)
+    # dist base closed form: s<4 -> base-1=s, e=0; else e=(s-2)>>1,
+    # base-1 = (2+(s&1))<<e
+    e_d = jnp.maximum(ds - 2, 0) >> 1
+    dbase1 = jnp.where(ds < 4, ds, (2 + (ds & 1)) << e_d)
+    deb = jnp.where(ds < 4, 0, e_d)
     dex = ((bits2 >> dclen.astype(_u)) & _mask(deb)).astype(jnp.int32)
-    dist1 = (dc >> _u(4)).astype(jnp.int32) + dex
+    dist1 = dbase1 + dex
 
     bad = bad | (islen & dbad)
     islen = islen & ~bad
     islit = islit & ~bad
 
     active = ~done & ~err
-    token = jnp.where(
-        active & islit, _u(1) | (((e >> _u(6)) & _u(0xFF)) << _u(1)),
-        jnp.where(active & islen,
-                  _u(2) | (mlen.astype(_u) << _u(2))
-                  | (dist1.astype(_u) << _u(11)),
-                  _u(0)))
-    new_end = jnp.where(active & iseob & ~bad, bp2, end_bit)
+    lit_tok = _u(1) | (sym.astype(_u) << _u(1))
+    len_tok = _u(2) | (mlen.astype(_u) << _u(2)) | (dist1.astype(_u) << _u(11))
+    token = ((active & islit).astype(_u) * lit_tok
+             + (active & islen).astype(_u) * len_tok)
+    bp2 = bitpos + used1
+    new_end = jnp.where(active & iseob, bp2, end_bit)
     new_err = err | (active & bad)
     new_done = done | (active & (iseob | bad))
-    new_outcnt = outcnt + jnp.where(
-        active, jnp.where(islit, 1, jnp.where(islen, mlen, 0)), 0)
-    adv = jnp.where(islit | iseob, clen + eb,
-                    jnp.where(islen, clen + eb + dclen + deb, 0))
-    new_bitpos = jnp.where(active, bitpos + adv, bitpos)
+    new_outcnt = outcnt + (active & islit) + (active & islen) * mlen
+    adv = used1 + islen * (dclen + deb)
+    new_bitpos = bitpos + active * adv
     return token, (new_bitpos, new_done, new_err, new_outcnt, new_end)
 
 
@@ -278,15 +289,16 @@ def _decode_xla(stream_words, bit0, nbits, tll, td, active0, max_steps: int):
 
     B, NW = stream_words.shape
     _u = jnp.uint32
-    lconst_a = jnp.asarray(LCONST)
-    dconst_a = jnp.asarray(DCONST)
 
-    def peek(bitpos):
-        wi = jnp.clip(bitpos >> 5, 0, NW - 2)
+    def peek2(bitpos):
+        wi = jnp.clip(bitpos >> 5, 0, NW - 3)
         sh = (bitpos & 31).astype(_u)
         w0 = jnp.take_along_axis(stream_words, wi[:, None], axis=1)[:, 0]
         w1 = jnp.take_along_axis(stream_words, wi[:, None] + 1, axis=1)[:, 0]
-        return (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
+        w2 = jnp.take_along_axis(stream_words, wi[:, None] + 2, axis=1)[:, 0]
+        b0 = (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
+        b1 = (w1 >> sh) | ((w2 << (_u(31) - sh)) << _u(1))
+        return b0, b1
 
     def mk_cell(tbl):
         def f(idx):
@@ -303,9 +315,7 @@ def _decode_xla(stream_words, bit0, nbits, tll, td, active0, max_steps: int):
 
     def body(carry):
         step, st, tokens = carry
-        tok, st2 = decode_step(peek, mk_cell(tll), mk_cell(td),
-                               lambda i: jnp.take(lconst_a, i),
-                               lambda i: jnp.take(dconst_a, i), st)
+        tok, st2 = decode_step(peek2, mk_cell(tll), mk_cell(td), st)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok, step,
                                                      axis=0)
         return step + 1, st2, tokens

@@ -47,7 +47,7 @@ def _mk_kernel(NB2: int, NT: int):
     R = LANES
 
     def kernel(stream_ref, bit0_ref, nbits_ref, tll_ref, td_ref,
-               lc_ref, dc_ref, active_ref,
+               active_ref,
                tok_ref, err_ref, cnt_ref, end_ref, ns_ref,
                tile_scratch, win_ref, sw_ref, qv_ref, Qv_ref, sem):
 
@@ -82,20 +82,21 @@ def _mk_kernel(NB2: int, NT: int):
             qv_ref[:] = q2
 
         def mk_peek(win, qv):
-            def peek(bitpos):
+            def peek2(bitpos):
                 rel = bitpos - (qv << 11)
-                wi = jnp.clip(rel >> 5, 0, 126)
+                wi = jnp.clip(rel >> 5, 0, 125)
                 sh = (rel & 31).astype(_u)
                 w0 = jnp.take_along_axis(win, wi, axis=1)
                 w1 = jnp.take_along_axis(win, wi + 1, axis=1)
-                return (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
-            return peek
+                w2 = jnp.take_along_axis(win, wi + 2, axis=1)
+                b0 = (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
+                b1 = (w1 >> sh) | ((w2 << (_u(31) - sh)) << _u(1))
+                return b0, b1
+            return peek2
 
-        # hoist table slabs and constant rows as values (one load each)
+        # hoist table slabs as values (one load each)
         ll_s = [tll_ref[:, k * 128:(k + 1) * 128] for k in range(4)]
         d_s = [td_ref[:, k * 128:(k + 1) * 128] for k in range(4)]
-        lc = lc_ref[:]
-        dc = dc_ref[:]
 
         def mk_cell(slabs):
             def fetch(idx):
@@ -112,19 +113,12 @@ def _mk_kernel(NB2: int, NT: int):
 
         ll_cell = mk_cell(ll_s)
         d_cell = mk_cell(d_s)
-
-        def lconst(i):
-            return jnp.take_along_axis(lc, i & 31, axis=1)
-
-        def dconst(i):
-            return jnp.take_along_axis(dc, i & 31, axis=1)
-
         lanecol = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
 
-        def step_i32(peek, st_i):
+        def step_i32(peek2, st_i):
             bitpos, done_i, err_i, outcnt, end_bit = st_i
             tok, st2 = PI.decode_step(
-                peek, ll_cell, d_cell, lconst, dconst,
+                peek2, ll_cell, d_cell,
                 (bitpos, done_i != 0, err_i != 0, outcnt, end_bit))
             return tok, (st2[0], st2[1].astype(jnp.int32),
                          st2[2].astype(jnp.int32), st2[3], st2[4])
@@ -208,7 +202,7 @@ def _compiled(NB2: int, NT: int, interpret: bool = False):
     kernel = _mk_kernel(NB2, NT)
     R = LANES
 
-    def call(stream3, bit0, nbits, tll, td, lc, dc, active):
+    def call(stream3, bit0, nbits, tll, td, active):
         return pl.pallas_call(
             kernel,
             out_shape=(
@@ -218,7 +212,7 @@ def _compiled(NB2: int, NT: int, interpret: bool = False):
                 jax.ShapeDtypeStruct((R, 128), jnp.int32),        # end_bit
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),          # nsteps
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -234,7 +228,7 @@ def _compiled(NB2: int, NT: int, interpret: bool = False):
                             pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(stream3, bit0, nbits, tll, td, lc, dc, active)
+        )(stream3, bit0, nbits, tll, td, active)
 
     return jax.jit(call)
 
@@ -280,13 +274,11 @@ def decode_pallas(stream_words: np.ndarray, bit0: np.ndarray,
 
     stream3 = np.zeros((B, NB2, 128), np.uint32)
     stream3[:, :NW // 128, :] = stream_words.reshape(B, NW // 128, 128)
-    lc = np.broadcast_to(np.pad(PI.LCONST, (0, 96)), (B, 128)).copy()
-    dc = np.broadcast_to(np.pad(PI.DCONST, (0, 96)), (B, 128)).copy()
 
     fn = _compiled(NB2, NT, interpret)
     args = (jnp.asarray(stream3), jnp.asarray(_bcast_col(bit0, np.int32)),
             jnp.asarray(_bcast_col(nbits, np.int32)), jnp.asarray(tll),
-            jnp.asarray(td), jnp.asarray(lc), jnp.asarray(dc),
+            jnp.asarray(td),
             jnp.asarray(_bcast_col(active.astype(np.int32), np.int32)))
     if _capture is not None:
         _capture.append((fn, args))
