@@ -176,12 +176,14 @@ def calibrate(sample_bytes: int = 4 << 20, level: int = 1,
             lens[i] = len(c)
         dj = jnp.asarray(arr)
         lj = jnp.asarray(lens)
-        cand = mf.find_candidates(dj, lj)
+        # the shipped L1 device configuration (stride-2/depth-16 speed
+        # point, ops/device_codecs.py)
+        cand = mf.find_candidates(dj, lj, depth=16, stride=2)
         np.asarray(cand[0, :8])  # sync
         reps = 5
         t0 = time.perf_counter()
         for _ in range(reps):
-            cand = mf.find_candidates(dj, lj)
+            cand = mf.find_candidates(dj, lj, depth=16, stride=2)
         np.asarray(cand[0, :8])
         rec["dev_comp_compute_gbps"] = (
             sample_bytes * reps / (time.perf_counter() - t0) / 1e9)

@@ -666,10 +666,11 @@ int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
     auto try_match = [&](int64_t p, uint32_t* dist_out) -> int {
         if (p >= match_pos_limit) return 0;
         uint32_t d = cand[p];
-        // neighbour probe: a candidate at p-1 usually stays aligned one
-        // byte later (recovers coverage when the device indexes sparsely,
-        // QATZIP_TPU_MF_STRIDE>1, and catches near-misses at stride 1)
+        // neighbour probes: candidates at p-1/p+1 usually stay aligned one
+        // byte later/earlier (recovers coverage when the device indexes
+        // sparsely, QATZIP_TPU_MF_STRIDE>1, and catches near-misses)
         uint32_t d2 = p > 0 ? cand[p - 1] : 0;
+        uint32_t d3 = p + 1 < match_pos_limit ? cand[p + 1] : 0;
         int maxl = (int)(n - 8 - p < 258 ? n - 8 - p : 258);
         if (maxl < 3) return 0;
         int best = 0;
@@ -681,6 +682,10 @@ int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
         if (d2 && d2 != d && (int64_t)d2 <= p) {
             int l = match_len(src + p, src + p - d2, maxl);
             if (l > best) { best = l; bd = d2; }
+        }
+        if (d3 && d3 != d && d3 != d2 && (int64_t)d3 <= p) {
+            int l = match_len(src + p, src + p - d3, maxl);
+            if (l > best) { best = l; bd = d3; }
         }
         if (best < 3 || (best == 3 && bd > 4096)) return 0;
         *dist_out = bd;

@@ -95,6 +95,21 @@ class DeflateDeviceCodec:
             use_packed = bool(_devcal._load().get("pack_wins", False))
         use_packed = use_packed and int(
             _os.environ.get("QATZIP_TPU_MF_STRIDE", "1")) == 1
+        # L1/L2 default speed point (round-4 validation, PERF.md): stride-2
+        # indexing halves both sorts (0.38 -> 0.67 GB/s device compute) and
+        # depth 16 + the parser's two-sided neighbour probes keep the ratio
+        # >= zlib L1 (2.1198 vs 2.1098 on the pinned corpus).  The packed
+        # D2H format keeps stride 1 (its classes assume dense candidates).
+        stride_env = _os.environ.get("QATZIP_TPU_MF_STRIDE")
+        if use_packed:
+            stride = 1
+        elif stride_env is not None:
+            stride = int(stride_env)
+        elif params.comp_lvl <= 2:
+            stride = 2
+            depth = max(depth, 16)
+        else:
+            stride = 1
 
         bsz = self.MAX_BATCH
         if mesh is not None and len(chunks) >= 2 * ndev:
@@ -126,7 +141,8 @@ class DeflateDeviceCodec:
                     dj = jax.device_put(dj, NamedSharding(mesh, P("block", None)))
                     lj = jax.device_put(lj, NamedSharding(mesh, P("block")))
                 cand = (mf.find_candidates_packed(dj, lj, depth)
-                        if use_packed else mf.find_candidates(dj, lj, depth))
+                        if use_packed else
+                        mf.find_candidates(dj, lj, depth, stride=stride))
                 pending.append((batch, cand))
             except Exception:
                 health.record_failure()
