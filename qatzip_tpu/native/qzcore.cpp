@@ -495,22 +495,37 @@ int64_t qz_lz4_candidates(const uint8_t* src, int64_t n, const uint16_t* cand,
     const int64_t mf_limit = n - 12;      // no match may start past this
     const int64_t match_limit = n - 5;    // matches never reach the tail
     int64_t anchor = 0, pos = 0;
+    auto probe = [&](int64_t p, uint32_t d) -> int64_t {
+        if (d == 0 || (int64_t)d > p) return 0;
+        const uint8_t* a = src + p;
+        const uint8_t* b = src + p - d;
+        int64_t maxl = match_limit - p;
+        int64_t l = 0;
+        while (l < maxl && a[l] == b[l]) l++;
+        return l;
+    };
     while (pos <= mf_limit) {
+        // two-sided neighbour probes (like qz_deflate_candidates):
+        // candidates at pos-1/pos+1 often stay aligned one byte off,
+        // recovering coverage when the device indexes sparsely
         uint32_t d = cand[pos];
-        if (d != 0 && (int64_t)d <= pos) {
-            const uint8_t* a = src + pos;
-            const uint8_t* b = src + pos - d;
-            int64_t maxl = match_limit - pos;
-            int64_t l = 0;
-            while (l < maxl && a[l] == b[l]) l++;
-            if (l >= MINMATCH) {
-                if (!emit(src + anchor, (size_t)(pos - anchor), d,
-                          (size_t)l))
-                    return -1;
-                pos += l;
-                anchor = pos;
-                continue;
-            }
+        int64_t l = probe(pos, d);
+        uint32_t d2 = pos > 0 ? cand[pos - 1] : 0;
+        if (d2 && d2 != d) {
+            int64_t l2 = probe(pos, d2);
+            if (l2 > l) { l = l2; d = d2; }
+        }
+        uint32_t d3 = pos + 1 <= mf_limit ? cand[pos + 1] : 0;
+        if (d3 && d3 != d && d3 != d2) {
+            int64_t l3 = probe(pos, d3);
+            if (l3 > l) { l = l3; d = d3; }
+        }
+        if (l >= MINMATCH) {
+            if (!emit(src + anchor, (size_t)(pos - anchor), d, (size_t)l))
+                return -1;
+            pos += l;
+            anchor = pos;
+            continue;
         }
         pos++;
     }
