@@ -80,8 +80,10 @@ def device_allowed(direction) -> bool:
         bool(cal.get("decomp_device_wins", False))
 
 
-def calibrate(sample_bytes: int = 4 << 20, level: int = 1,
+def calibrate(sample_bytes: int = 8 << 20, level: int = 1,
               save: bool = True) -> dict:
+    # 8 MB / 128 chunks fills the lockstep decoder's 128 lanes and two
+    # 64-chunk encoder batches — the shapes the kernels ship with
     """Measure device vs CPU throughput on this host and persist the
     routing record.  Expensive on first run (kernel compiles); meant to be
     invoked explicitly (bench, CLI --calibrate, ops tooling) — never from
@@ -135,6 +137,7 @@ def calibrate(sample_bytes: int = 4 << 20, level: int = 1,
                 dev.compress_chunks, chunks, p)
         finally:
             os.environ.pop("QATZIP_TPU_PACK", None)
+        rec["dev_comp_raw_gbps"] = rec["dev_comp_gbps"]
         rec["pack_wins"] = (rec["dev_comp_packed_gbps"]
                             > rec["dev_comp_gbps"])
         if rec["pack_wins"]:
