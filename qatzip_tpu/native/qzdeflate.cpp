@@ -92,7 +92,12 @@ struct BitWriter {
         if (op + 8 > oend) { slow_flush(); return; }
         std::memcpy(op, &acc, 8);
         op += nbits >> 3;
-        acc >>= (nbits & ~7);
+        // nbits can legally reach 64 (36-bit entry + a 28-bit put);
+        // `acc >>= 64` is UB (x86 wraps the count to 0, keeping stale
+        // bits) — this latent bug predates round 4 and was exposed by
+        // the fused literal-pair puts hitting 64 frequently
+        int drop = nbits & ~7;
+        acc = drop >= 64 ? 0 : acc >> drop;
         nbits &= 7;
     }
     void slow_flush() {
@@ -583,9 +588,22 @@ bool emit_block(BitWriter& bw, const uint32_t* tokens, int64_t ntok,
             bw.put(edl[dc] | ((dist - DIST_BASE[dc]) << edn[dc]),
                    edn[dc] + DIST_EB[dc]);
         } else {
-            bw.put(ell[t], eln[t]);
+            // literal: fuse the following literal into one put when the
+            // pair fits the 28-bit put budget (the common case — ~37% of
+            // compress time is this loop; BitWriter bounds-checks in
+            // flush, so the fail flag is sticky and checked once at end)
+            int l1 = eln[t];
+            if (i + 1 < ntok && !(tokens[i + 1] & TOK_MATCH)) {
+                uint32_t t2 = tokens[i + 1];
+                int l2 = eln[t2];
+                if (l1 + l2 <= 28) {
+                    bw.put(ell[t] | ((uint32_t)ell[t2] << l1), l1 + l2);
+                    i++;
+                    continue;
+                }
+            }
+            bw.put(ell[t], l1);
         }
-        if (bw.fail) return false;
     }
     bw.put(ell[256], eln[256]);  // EOB
     return !bw.fail;

@@ -56,3 +56,40 @@ def test_device_forced_boundary_sweep(corpus_factory, monkeypatch):
                 (kind, n)
             if n:
                 assert gzip.decompress(comp) == data, (kind, n)
+
+
+def test_native_deflate_64k_bitpack_sweep(corpus_factory):
+    """64KB chunks across data classes at L1/L2, verified by zlib.
+
+    Regression for the BitWriter nbits==64 flush path (`acc >>= 64` is
+    UB and kept stale accumulator bits; exposed by fused literal-pair
+    puts on mixed text) — bit-packing bugs appear only on specific
+    code-length sequences, so sweep widely."""
+    import zlib as _z
+
+    import numpy as np
+
+    from qatzip_tpu.native import qzcore as native
+
+    rng = np.random.default_rng(20260821)
+    words = [rng.integers(97, 123, rng.integers(2, 12), dtype=np.uint8)
+             for _ in range(512)]
+    for rep in range(12):
+        kind = rep % 3
+        if kind == 0:  # zipf-ish text (the class that caught the bug)
+            idx = (rng.random(20000) ** 3 * len(words)).astype(int)
+            parts = []
+            for i in idx:
+                parts.append(words[i])
+                parts.append(np.array([32], np.uint8))
+            data = np.concatenate(parts)[:65536].tobytes()
+        elif kind == 1:  # skewed binary
+            raw = rng.integers(0, 256, 65536, dtype=np.int64)
+            data = ((raw * raw) // 256 % 256).astype(np.uint8).tobytes()
+        else:  # structured records
+            rows = [f"{i},{(i * 31) % 1013},item-{i % 50:04d}\n".encode()
+                    for i in range(4000)]
+            data = (b"".join(rows) * 3)[:65536]
+        for lvl in (1, 2):
+            payload = native.deflate_compress(data, lvl)
+            assert _z.decompress(payload, -15) == data, (rep, kind, lvl)
