@@ -201,9 +201,113 @@ void run_pool(int nthreads, int64_t nitems, Fn&& body) {
 
 extern "C" {
 
+// ---------------------------------------------------------------------------
+// PCLMULQDQ-folded CRC-32 (IEEE reflected), the Intel folding method with
+// the constants of the public derivation (x^544/x^480/x^160/x^96/x^64 mod P
+// and the Barrett pair).  Guarded by a startup self-check against the
+// table path — on any mismatch or missing ISA the table path is used, so a
+// wrong constant can never corrupt a checksum.
+// ---------------------------------------------------------------------------
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+#include <immintrin.h>
+static uint32_t crc32_pclmul(uint32_t crc, const uint8_t* p, int64_t n) {
+    if (n < 64) return crc32_sb8(crc, p, n);
+    crc = ~crc;
+    const __m128i k1k2 = _mm_set_epi64x(0x00000001c6e41596ll,
+                                        0x0000000154442bd4ll);
+    const __m128i k3k4 = _mm_set_epi64x(0x00000000ccaa009ell,
+                                        0x00000001751997d0ll);
+    const __m128i k5 = _mm_set_epi64x(0, 0x0000000163cd6124ll);
+    const __m128i bpoly = _mm_set_epi64x(0x00000001f7011641ll,   // u'
+                                         0x00000001db710641ll);  // P'
+    __m128i x1 = _mm_loadu_si128((const __m128i*)(p));
+    __m128i x2 = _mm_loadu_si128((const __m128i*)(p + 16));
+    __m128i x3 = _mm_loadu_si128((const __m128i*)(p + 32));
+    __m128i x4 = _mm_loadu_si128((const __m128i*)(p + 48));
+    x1 = _mm_xor_si128(x1, _mm_cvtsi32_si128((int)crc));
+    p += 64; n -= 64;
+    while (n >= 64) {
+        __m128i t;
+        t = _mm_clmulepi64_si128(x1, k1k2, 0x00);
+        x1 = _mm_clmulepi64_si128(x1, k1k2, 0x11);
+        x1 = _mm_xor_si128(x1, t);
+        x1 = _mm_xor_si128(x1, _mm_loadu_si128((const __m128i*)p));
+        t = _mm_clmulepi64_si128(x2, k1k2, 0x00);
+        x2 = _mm_clmulepi64_si128(x2, k1k2, 0x11);
+        x2 = _mm_xor_si128(x2, t);
+        x2 = _mm_xor_si128(x2, _mm_loadu_si128((const __m128i*)(p + 16)));
+        t = _mm_clmulepi64_si128(x3, k1k2, 0x00);
+        x3 = _mm_clmulepi64_si128(x3, k1k2, 0x11);
+        x3 = _mm_xor_si128(x3, t);
+        x3 = _mm_xor_si128(x3, _mm_loadu_si128((const __m128i*)(p + 32)));
+        t = _mm_clmulepi64_si128(x4, k1k2, 0x00);
+        x4 = _mm_clmulepi64_si128(x4, k1k2, 0x11);
+        x4 = _mm_xor_si128(x4, t);
+        x4 = _mm_xor_si128(x4, _mm_loadu_si128((const __m128i*)(p + 48)));
+        p += 64; n -= 64;
+    }
+    // fold 4 lanes -> 1
+    __m128i t;
+    t = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+    x1 = _mm_xor_si128(_mm_xor_si128(x1, t), x2);
+    t = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+    x1 = _mm_xor_si128(_mm_xor_si128(x1, t), x3);
+    t = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+    x1 = _mm_xor_si128(_mm_xor_si128(x1, t), x4);
+    // remaining 16B blocks
+    while (n >= 16) {
+        t = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+        x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+        x1 = _mm_xor_si128(x1, t);
+        x1 = _mm_xor_si128(x1, _mm_loadu_si128((const __m128i*)p));
+        p += 16; n -= 16;
+    }
+    // fold 128 -> 64
+    const __m128i mask32 = _mm_setr_epi32(-1, 0, -1, 0);
+    t = _mm_clmulepi64_si128(x1, k3k4, 0x10);
+    x1 = _mm_srli_si128(x1, 8);
+    x1 = _mm_xor_si128(x1, t);
+    t = _mm_srli_si128(x1, 4);
+    x1 = _mm_and_si128(x1, mask32);
+    x1 = _mm_clmulepi64_si128(x1, k5, 0x00);
+    x1 = _mm_xor_si128(x1, t);
+    // Barrett reduction to 32 bits
+    t = _mm_and_si128(x1, mask32);
+    t = _mm_clmulepi64_si128(t, bpoly, 0x10);
+    t = _mm_and_si128(t, mask32);
+    t = _mm_clmulepi64_si128(t, bpoly, 0x00);
+    x1 = _mm_xor_si128(x1, t);
+    crc = (uint32_t)_mm_extract_epi32(x1, 1);
+    uint32_t out = ~crc;
+    if (n > 0) out = crc32_sb8(out, p, n);
+    return out;
+}
+
+static bool pclmul_selfcheck() {
+    uint8_t buf[1024];
+    for (int i = 0; i < 1024; i++) buf[i] = (uint8_t)(i * 151 + 13);
+    for (int64_t len : {64, 65, 100, 333, 1024}) {
+        for (uint32_t seed : {0u, 0xDEADBEEFu}) {
+            if (crc32_pclmul(seed, buf, len) != crc32_sb8(seed, buf, len))
+                return false;
+        }
+    }
+    return true;
+}
+static const bool g_pclmul_ok = pclmul_selfcheck();
+
+uint32_t qz_crc32(uint32_t crc, const uint8_t* p, int64_t n) {
+    if (g_pclmul_ok) return crc32_pclmul(crc, p, n);
+    return crc32_sb8(crc, p, n);
+}
+#else
 uint32_t qz_crc32(uint32_t crc, const uint8_t* p, int64_t n) {
     return crc32_sb8(crc, p, n);
 }
+#endif
 
 uint32_t qz_adler32(uint32_t adler, const uint8_t* p, int64_t n) {
     return adler32_fast(adler, p, n);
@@ -293,7 +397,7 @@ int64_t qz_batch_deflate_compress(const uint8_t* src, int64_t n,
         int64_t plen = qz_deflate_compress(src + off, len, slot + hdr,
                                            slot_sz - hdr - ftr, level);
         if (plen < 0) { failed.store(true); return; }
-        uint32_t ck = ck_kind == 0 ? crc32_sb8(0, src + off, len)
+        uint32_t ck = ck_kind == 0 ? qz_crc32(0, src + off, len)
                                    : adler32_fast(1, src + off, len);
         write_header(slot, fmt, (uint32_t)len, (uint32_t)plen);
         write_footer(slot + hdr + plen, fmt, ck, (uint32_t)len);
@@ -343,7 +447,7 @@ int64_t qz_batch_inflate(const uint8_t* comp, const int64_t* offs,
                                  hints[i], &used, &eof);
         if (out < 0) { err.store(1); return; }
         if (out != hints[i]) { err.store(2); return; }
-        uint32_t ck = ck_kind == 0 ? crc32_sb8(0, dst + out_offs[i], out)
+        uint32_t ck = ck_kind == 0 ? qz_crc32(0, dst + out_offs[i], out)
                                    : adler32_fast(1, dst + out_offs[i], out);
         if (expected[i] >= 0 && (uint32_t)expected[i] != ck) {
             err.store(3);
