@@ -129,6 +129,25 @@ def _addr(data):
     return ctypes.cast(arr, ctypes.c_void_p), n, (mv, arr)
 
 
+# thread-local output arena for the batch funnels: reused pages stay
+# faulted+cached across calls (the reference's pinned-buffer pool role,
+# src/qatzip_mem.c); ctypes.create_string_buffer would zero-fill 30MB+
+# per request and fresh np.empty pays page faults inside the C call
+import threading
+
+_tls = threading.local()
+
+
+def _arena(n: int):
+    import numpy as np
+
+    buf = getattr(_tls, "buf", None)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n, 1 << 20), np.uint8)
+        _tls.buf = buf
+    return buf
+
+
 # wire-format codes shared with qzbatch.cpp (enum Fmt)
 BATCH_FMT = {"4B": 0, "gzip": 1, "gzipext": 2, "raw": 3, "zlib": 4}
 _BATCH_HDR = {0: 4, 1: 10, 2: 24, 3: 0, 4: 2}
@@ -312,14 +331,14 @@ def batch_deflate_compress(data, chunk_sz: int, level: int,
     slot = (_BATCH_HDR[fmt_code] + _BATCH_FTR[fmt_code]
             + chunk_sz + (chunk_sz >> 3) + 1024)
     cap = nchunks * slot
-    buf = ctypes.create_string_buffer(cap)
+    buf = _arena(cap)
     crc = ctypes.c_uint32(0)
-    total = _lib.qz_batch_deflate_compress(p, n, chunk_sz, level, fmt_code,
-                                           ck_kind, buf, cap, slot,
-                                           ctypes.byref(crc))
+    total = _lib.qz_batch_deflate_compress(
+        p, n, chunk_sz, level, fmt_code, ck_kind,
+        buf.ctypes.data_as(ctypes.c_void_p), cap, slot, ctypes.byref(crc))
     if total < 0:
         raise ValueError("batch compress failed")
-    return buf.raw[:total], crc.value
+    return buf[:total].tobytes(), crc.value
 
 
 def batch_inflate(comp, offs: list[int], plens: list[int],
@@ -336,18 +355,19 @@ def batch_inflate(comp, offs: list[int], plens: list[int],
     for h in hints:
         out_offs.append(acc)
         acc += h
-    buf = ctypes.create_string_buffer(acc if acc > 0 else 1)
+    buf = _arena(acc)
     arr = ctypes.c_int64 * nm
     crc = ctypes.c_uint32(0)
     eof = ctypes.c_int32(0)
     cp, _cn, keep = _addr(comp)
     total = _lib.qz_batch_inflate(cp, arr(*offs), arr(*plens),
                                   arr(*out_offs), arr(*hints), arr(*expected),
-                                  nm, ck_kind, buf, ctypes.byref(crc),
-                                  ctypes.byref(eof))
+                                  nm, ck_kind,
+                                  buf.ctypes.data_as(ctypes.c_void_p),
+                                  ctypes.byref(crc), ctypes.byref(eof))
     if total < 0:
         raise ValueError(f"batch inflate failed ({total})")
-    return buf.raw[:total], crc.value, bool(eof.value)
+    return buf[:total].tobytes(), crc.value, bool(eof.value)
 
 
 def huff_build_batch(freq_ll, freq_d, blk_len, allow_dynamic: bool,
