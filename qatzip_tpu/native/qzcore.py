@@ -174,13 +174,13 @@ def lz4_assemble(data: bytes, rec, mode: int = 0,
     rec = np.ascontiguousarray(rec, np.int32)
     p, dn, keep = _addr(data)
     cap = dn + dn // 255 + 64
-    out = ctypes.create_string_buffer(cap)
+    out = _arena(cap)
     n = _lib.qz_lz4_assemble(p, dn,
-                             rec.ctypes.data_as(ctypes.c_void_p), out, cap,
+                             rec.ctypes.data_as(ctypes.c_void_p), out.ctypes.data_as(ctypes.c_void_p), cap,
                              mode, mini_match)
     if n < 0:
         raise ValueError("lz4 assembly failed")
-    return out.raw[:n]
+    return out[:n].tobytes()
 
 
 def lz4_candidates(data, cand_u16, mode: int = 0,
@@ -194,53 +194,55 @@ def lz4_candidates(data, cand_u16, mode: int = 0,
     if cand.size < dn:
         raise ValueError("candidate array shorter than data")
     cap = dn + dn // 255 + 64
-    buf = ctypes.create_string_buffer(cap)
+    buf = _arena(cap)
     m = _lib.qz_lz4_candidates(p, dn, cand.ctypes.data_as(ctypes.c_void_p),
-                               buf, cap, mode, mini_match)
+                               buf.ctypes.data_as(ctypes.c_void_p), cap,
+                               mode, mini_match)
     if m < 0:
         raise ValueError("lz4_candidates failed")
-    return buf.raw[:m]
+    return buf[:m].tobytes()
 
 
 def lz4_compress_block(data) -> bytes:
     p, dn, keep = _addr(data)
     cap = dn + dn // 255 + 64
-    buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4_compress_block(p, dn, buf, cap)
+    buf = _arena(cap)
+    n = _lib.qz_lz4_compress_block(p, dn, buf.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise ValueError("lz4 compress failed")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def lz4s_compress_block(data, mini_match: int = 3) -> bytes:
     p, dn, keep = _addr(data)
     cap = dn + dn // 255 + 64
-    buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_lz4s_compress_block(p, dn, buf, cap, mini_match)
+    buf = _arena(cap)
+    n = _lib.qz_lz4s_compress_block(p, dn, buf.ctypes.data_as(ctypes.c_void_p), cap, mini_match)
     if n < 0:
         raise ValueError("lz4s compress failed")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def lz4_decompress_block(block: bytes, max_out: int) -> bytes:
-    cap = min(max_out, 1 << 30) if max_out > 0 else 1 << 26
-    buf = ctypes.create_string_buffer(cap)
+    # LZ4 frame blocks decode to <= 4MB by spec; 64MB bounds the arena
+    cap = min(max_out, 1 << 26) if max_out > 0 else 1 << 26
+    buf = _arena(cap)
     p, bn, keep = _addr(block)
-    n = _lib.qz_lz4_decompress_block(p, bn, buf, cap)
+    n = _lib.qz_lz4_decompress_block(p, bn, buf.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise ValueError("corrupt lz4 block")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def lz4s_decompress_block(block: bytes, max_out: int,
                           mini_match: int = 3) -> bytes:
-    cap = min(max_out, 1 << 30) if max_out > 0 else 1 << 26
-    buf = ctypes.create_string_buffer(cap)
+    cap = min(max_out, 1 << 26) if max_out > 0 else 1 << 26
+    buf = _arena(cap)
     p, bn, keep = _addr(block)
-    n = _lib.qz_lz4s_decompress_block(p, bn, buf, cap, mini_match)
+    n = _lib.qz_lz4s_decompress_block(p, bn, buf.ctypes.data_as(ctypes.c_void_p), cap, mini_match)
     if n < 0:
         raise ValueError("corrupt lz4s block")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
@@ -251,11 +253,11 @@ def deflate_compress(data, level: int = 1) -> bytes:
     """Raw-deflate compress (complete stream, BFINAL set)."""
     p, dn, keep = _addr(data)
     cap = dn + (dn >> 3) + 1024
-    buf = ctypes.create_string_buffer(cap)
-    n = _lib.qz_deflate_compress(p, dn, buf, cap, level)
+    buf = _arena(cap)
+    n = _lib.qz_deflate_compress(p, dn, buf.ctypes.data_as(ctypes.c_void_p), cap, level)
     if n < 0:
         raise ValueError("deflate compress failed")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def deflate_candidates(data, cand_u16, level: int = 1) -> bytes:
@@ -268,13 +270,14 @@ def deflate_candidates(data, cand_u16, level: int = 1) -> bytes:
     if cand.size < dn:
         raise ValueError("candidate array shorter than data")
     cap = dn + (dn >> 3) + 1024
-    buf = ctypes.create_string_buffer(cap)
+    buf = _arena(cap)
     n = _lib.qz_deflate_candidates(p, dn,
                                    cand.ctypes.data_as(ctypes.c_void_p),
-                                   buf, cap, level)
+                                   buf.ctypes.data_as(ctypes.c_void_p),
+                                   cap, level)
     if n < 0:
         raise ValueError("deflate_candidates failed")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def deflate_candidates_packed(data, packed_u8, level: int = 1) -> bytes:
@@ -289,13 +292,13 @@ def deflate_candidates_packed(data, packed_u8, level: int = 1) -> bytes:
     if packed_n < dn:
         raise ValueError("packed candidate array shorter than data")
     cap = dn + (dn >> 3) + 1024
-    buf = ctypes.create_string_buffer(cap)
+    buf = _arena(cap)
     n = _lib.qz_deflate_candidates_packed(
-        p, dn, pk.ctypes.data_as(ctypes.c_void_p), packed_n, buf, cap,
+        p, dn, pk.ctypes.data_as(ctypes.c_void_p), packed_n, buf.ctypes.data_as(ctypes.c_void_p), cap,
         level)
     if n < 0:
         raise ValueError("deflate_candidates_packed failed")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def crc32(data, crc: int = 0) -> int:
@@ -413,17 +416,17 @@ def inflate(data, max_out: int) -> tuple[bytes, int, bool]:
     small (caller may retry with a larger buffer).
     """
     cap = max(max_out, 1)
-    buf = ctypes.create_string_buffer(cap)
+    buf = _arena(cap)
     used = ctypes.c_int64(0)
     eof = ctypes.c_int32(0)
     p, dn, keep = _addr(data)
-    n = _lib.qz_inflate(p, dn, buf, cap,
+    n = _lib.qz_inflate(p, dn, buf.ctypes.data_as(ctypes.c_void_p), cap,
                         ctypes.byref(used), ctypes.byref(eof))
     if n == -2:
         raise OverflowError("inflate output exceeds max_out")
     if n < 0:
         raise ValueError("corrupt deflate stream")
-    return buf.raw[:n], used.value, bool(eof.value)
+    return buf[:n].tobytes(), used.value, bool(eof.value)
 
 
 def apply_tokens(tokens_np, lane: int, window, wlen: int,
@@ -438,14 +441,14 @@ def apply_tokens(tokens_np, lane: int, window, wlen: int,
 
     assert tokens_np.dtype == np.uint32 and tokens_np.flags.c_contiguous
     nsteps, nlanes = tokens_np.shape
-    buf = ctypes.create_string_buffer(max(cap, 1))
+    buf = _arena(cap)
     wp, wn, wkeep = _addr(window) if wlen else (ctypes.c_void_p(0), 0, None)
     base = tokens_np.ctypes.data + 4 * lane
     n = _lib.qz_apply_tokens(ctypes.c_void_p(base), nsteps, nlanes,
-                             wp, wlen, buf, cap)
+                             wp, wlen, buf.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise ValueError(f"token apply failed ({n})")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
 
 
 def apply_tokens_tiled(tokens3_np, lane: int, window, wlen: int,
@@ -457,11 +460,11 @@ def apply_tokens_tiled(tokens3_np, lane: int, window, wlen: int,
 
     assert tokens3_np.dtype == np.uint32 and tokens3_np.flags.c_contiguous
     nt, b, tile = tokens3_np.shape
-    buf = ctypes.create_string_buffer(max(cap, 1))
+    buf = _arena(cap)
     wp, wn, wkeep = _addr(window) if wlen else (ctypes.c_void_p(0), 0, None)
     base = tokens3_np.ctypes.data + 4 * lane * tile
     n = _lib.qz_apply_tokens_tiled(ctypes.c_void_p(base), nt, tile,
-                                   b * tile, wp, wlen, buf, cap)
+                                   b * tile, wp, wlen, buf.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise ValueError(f"token apply failed ({n})")
-    return buf.raw[:n]
+    return buf[:n].tobytes()
