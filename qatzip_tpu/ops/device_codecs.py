@@ -262,7 +262,8 @@ class DeflateDeviceCodec:
                 out.append(CompressedChunk(payload, int(cks[i]), len(c)))
         return out
 
-    MAX_DECODE_BATCH = 8
+    MAX_DECODE_BATCH = 8      # speculative engine rounds
+    LOCKSTEP_BATCH = 128      # one block per lane (pallas_inflate.LANES)
 
     def decompress_chunks(self, payloads, hints, params):
         """Device inflate with per-chunk CPU failover (the reference's
@@ -270,13 +271,20 @@ class DeflateDeviceCodec:
         kernel flags as unprovable are re-inflated with zlib instead of
         failing the whole batch.  Checksums of device-decoded chunks come
         from the device kernels (no host re-scan)."""
+        import os as _os
+
         from qatzip_tpu.ops import deflate_decode as dd
 
         kind = _checksum_kind(params)
+        # the lockstep engine decodes 128 blocks per round (one per
+        # sublane row); feeding it smaller batches idles lanes
+        bsz = (self.MAX_DECODE_BATCH
+               if _os.environ.get("QATZIP_TPU_INFLATE", "lockstep") == "spec"
+               else self.LOCKSTEP_BATCH)
         out: list[DecompressedChunk] = []
-        for start in range(0, len(payloads), self.MAX_DECODE_BATCH):
-            batch = payloads[start:start + self.MAX_DECODE_BATCH]
-            bh = hints[start:start + self.MAX_DECODE_BATCH]
+        for start in range(0, len(payloads), bsz):
+            batch = payloads[start:start + bsz]
+            bh = hints[start:start + bsz]
             try:
                 ran: list = []
                 results = dd.inflate_batch(batch, bh, kind=kind, ran_out=ran)
