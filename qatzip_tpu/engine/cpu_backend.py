@@ -35,7 +35,10 @@ def _chunk_pool() -> ThreadPoolExecutor:
     codecs release the GIL, so chunk-level parallelism scales with cores."""
     global _pool
     if _pool is None:
-        _pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2),
+        n = int(os.environ.get("QATZIP_TPU_SW_THREADS", "0"))
+        if n < 1:
+            n = max(2, os.cpu_count() or 2)
+        _pool = ThreadPoolExecutor(max_workers=n,
                                    thread_name_prefix="qz-sw")
     return _pool
 

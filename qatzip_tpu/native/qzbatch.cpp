@@ -173,6 +173,13 @@ void write_footer(uint8_t* p, int fmt, uint32_t checksum, uint32_t isize) {
 }
 
 int pick_threads(int64_t nitems) {
+    // QATZIP_TPU_SW_THREADS pins the per-process pool (the reference's
+    // NumProcesses x threads tuning, test/performance_tests/run_perf_test.sh)
+    if (const char* env = std::getenv("QATZIP_TPU_SW_THREADS")) {
+        int v = std::atoi(env);
+        if (v >= 1) return v > (int)nitems ? (int)(nitems > 0 ? nitems : 1)
+                                           : v;
+    }
     unsigned hc = std::thread::hardware_concurrency();
     int t = hc ? (int)hc : 2;
     if ((int64_t)t > nitems) t = (int)nitems;

@@ -120,7 +120,11 @@ def two_process_row():
                     "QATZIP_TPU_COORDINATOR": f"127.0.0.1:{port}",
                     "QATZIP_TPU_NUM_PROCESSES": "2",
                     "QATZIP_TPU_PROCESS_ID": str(rank),
-                    "QATZIP_TPU_FORCE_SW": "1"})
+                    "QATZIP_TPU_FORCE_SW": "1",
+                    # one SW thread per rank: 2 ranks x 1 thread on 2
+                    # cores, the reference's procs x threads pinning
+                    # (run_perf_test.sh taskset rows)
+                    "QATZIP_TPU_SW_THREADS": "1"})
         env.pop("XLA_FLAGS", None)
         env.pop("PYTHONPATH", None)
         procs.append(subprocess.Popen(
