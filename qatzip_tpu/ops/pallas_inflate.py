@@ -33,9 +33,8 @@ gathers:
   dist u16:    clen[0:4] kind[4:6] payload[6:11] = dist symbol 0..29
      kind 3 subptr as above
   u16 == 0 -> invalid (corrupt stream; lane errors, CPU fallback)
-  length/dist (base, extra) resolve through tiny shared constant tables
-  (LCONST u32[29] = len_base<<4|extra, DCONST u32[30] = (dist_base-1)<<4
-  | extra) — one broadcast-row gather each.
+  length/dist (base, extra) resolve arithmetically from RFC1951's
+  geometric closed forms (no constant-table gathers; see decode_step).
 
 Token format (shared with qz_apply_tokens, qzcore.cpp):
   0                  inactive (lane done / padding)
@@ -53,26 +52,6 @@ from qatzip_tpu.ops import deflate_tables as T
 LANES = 128          # blocks decoded in lockstep
 CELLS = 512          # u32 cells per table region (root 256 + sub 256)
 ROOT_BITS = 9
-
-
-def _lconst_np() -> np.ndarray:
-    out = np.zeros(32, np.uint32)
-    for i in range(29):
-        out[i] = (np.uint32(T._LENGTH_BASE[i]) << 4) | \
-            np.uint32(T._LENGTH_EXTRA[i])
-    return out
-
-
-def _dconst_np() -> np.ndarray:
-    out = np.zeros(32, np.uint32)
-    for i in range(30):
-        out[i] = (np.uint32(T._DIST_BASE[i] - 1) << 4) | \
-            np.uint32(T._DIST_EXTRA[i])
-    return out
-
-
-LCONST = _lconst_np()
-DCONST = _dconst_np()
 
 
 # ---------------------------------------------------------------------------
