@@ -591,8 +591,9 @@ def decompress_ext(sess: QzSession, src, dest_limit: int | None = None) -> OpRes
                 data, chunk_ck, eos = dc.data, dc.checksum, dc.end_of_stream
                 bad_ck = expected_ck is not None and chunk_ck != expected_ck
                 # gzip's ISIZE is mandatory: a decoded size disagreeing with
-                # the footer is corruption even when the CRC field collides
-                bad_sz = (hint >= 0 and len(data) != hint
+                # the footer (mod 2^32, per RFC1952) is corruption even when
+                # the CRC field collides
+                bad_sz = (hint >= 0 and (len(data) & 0xFFFFFFFF) != hint
                           and fmt in (DataFormatInternal.DEFLATE_GZIP,
                                       DataFormatInternal.DEFLATE_GZIP_EXT))
                 if bad_ck or bad_sz:

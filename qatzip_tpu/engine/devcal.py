@@ -129,6 +129,7 @@ def calibrate(sample_bytes: int = 8 << 20, level: int = 1,
         dev = DeflateDeviceCodec()
         # measure both candidate D2H formats; the faster one becomes the
         # recorded default for this host (ops/device_codecs.py policy)
+        prior_pack = os.environ.get("QATZIP_TPU_PACK")
         os.environ["QATZIP_TPU_PACK"] = "0"
         try:
             _, rec["dev_comp_gbps"] = timed(dev.compress_chunks, chunks, p)
@@ -136,7 +137,10 @@ def calibrate(sample_bytes: int = 8 << 20, level: int = 1,
             comp_pk, rec["dev_comp_packed_gbps"] = timed(
                 dev.compress_chunks, chunks, p)
         finally:
-            os.environ.pop("QATZIP_TPU_PACK", None)
+            if prior_pack is None:
+                os.environ.pop("QATZIP_TPU_PACK", None)
+            else:
+                os.environ["QATZIP_TPU_PACK"] = prior_pack
         rec["dev_comp_raw_gbps"] = rec["dev_comp_gbps"]
         rec["pack_wins"] = (rec["dev_comp_packed_gbps"]
                             > rec["dev_comp_gbps"])

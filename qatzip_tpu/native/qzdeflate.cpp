@@ -739,9 +739,13 @@ int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
 }
 
 // Decode the packed candidate format (ops/match_finder.py round-4 D2H cut)
-// back into the uint16-per-position array: nibble stream (n/2 bytes,
-// 0=none, 1=repeat-previous, 2=exception, 3..15=dist 1..13) followed by
-// the per-64-position exception stream (8 uint16 slots per chunk).
+// back into the uint16-per-position array: 2-bit class stream (n/4 bytes;
+// 0=none, 1=repeat-previous, 2=exception, 3=dist 1) followed by the
+// per-64-position exception stream (16 uint16 slots per chunk, n/2 bytes).
+// Exceptions past a chunk's 16-slot budget were degraded by the packer to
+// class 1 (repeat-previous) — a stale-distance *guess* that the parser's
+// byte-compare verification can only turn into a found match, never
+// corruption.
 static void unpack_candidates(const uint8_t* packed, int64_t n,
                               uint16_t* out) {
     // 2-bit classes (n/4 bytes): 0 none, 1 repeat-previous, 2 exception,

@@ -269,8 +269,10 @@ class DeflateDeviceCodec:
         """Device inflate with per-chunk CPU failover (the reference's
         decompOutSWFallback behavior, src/qatzip_sw.c:792-846): chunks the
         kernel flags as unprovable are re-inflated with zlib instead of
-        failing the whole batch.  Checksums of device-decoded chunks come
-        from the device kernels (no host re-scan)."""
+        failing the whole batch.  The speculative engine fuses chunk
+        checksums on the device; the default lockstep engine recomputes
+        them on the host over each decoded part (zlib crc32/adler32,
+        ~1 GB/s+ — not the decode bottleneck)."""
         import os as _os
 
         from qatzip_tpu.ops import deflate_decode as dd

@@ -170,8 +170,8 @@ def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
 #     in the side stream); 3 = distance 1
 #   exception stream (n/2 bytes): per 64-position chunk, up to 16 uint16
 #     distances in position order; overflowed exceptions (2.7% measured on
-#     zipf text, the worst class) degrade to "no candidate" consistently
-#     on both sides; the native parser's neighbour probe recovers most.
+#     zipf text, the worst class) degrade to "repeat previous" — a stale
+#     guess the parser's byte-compare verification makes safe.
 # All elementwise + within-chunk cumsum + 16 masked reduces — no extra
 # sort, so device compute is barely touched.  Decoded by
 # unpack_candidates (native/qzdeflate.cpp).

@@ -248,6 +248,8 @@ def timed_replay(calls, reps: int = 3) -> float:
     pass over all rounds, true-sync via the scalar nsteps output."""
     import time
 
+    if not calls:
+        return 0.0
     for fn, args in calls:  # warm
         r = fn(*args)
     np.asarray(r[4])
