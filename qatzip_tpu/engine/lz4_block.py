@@ -101,11 +101,17 @@ def _emit_sequence(out: bytearray, src: bytes, lit_start: int, lit_len: int,
         _write_length(out, ml_code - 15)
 
 
-def lz4_block_decompress(block: bytes, max_out: int) -> bytes:
-    """Decode one LZ4 block.  Raises ValueError on malformed input."""
+def lz4_block_decompress(block: bytes, max_out: int,
+                         prefix: bytes = b"") -> bytes:
+    """Decode one LZ4 block.  Raises ValueError on malformed input.
+
+    ``prefix`` is preceding-frame history for linked-block frames
+    (FLG block-indep=0): match offsets may reach up to 64KB back into
+    it.  The returned bytes are this block's output only."""
     src = bytes(block)
     n = len(src)
-    out = bytearray()
+    plen = len(prefix)
+    out = bytearray(prefix)
     ip = 0
     while ip < n:
         token = src[ip]
@@ -148,9 +154,9 @@ def lz4_block_decompress(block: bytes, max_out: int) -> bytes:
             raise ValueError("offset beyond output start")
         for k in range(mlen):  # byte-by-byte: overlapping copies are legal
             out.append(out[start + k])
-        if len(out) > max_out:
+        if len(out) - plen > max_out:
             raise ValueError("output exceeds max_out")
-    return bytes(out)
+    return bytes(out[plen:])
 
 
 # ---------------------------------------------------------------------------

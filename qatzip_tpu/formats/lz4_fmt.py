@@ -81,6 +81,9 @@ def parse_lz4_frame_header(buf, off: int = 0, strict: bool = False):
                    or not (flg >> 3) & 0x1):
         raise ValueError("unsupported lz4 frame flags for HW path")
     pos = off + 6
+    need = 7 + (8 if (flg >> 3) & 0x1 else 0) + (4 if flg & 0x1 else 0)
+    if len(buf) - off < need:
+        raise ValueError("lz4 frame header truncated")
     content_size = -1
     if (flg >> 3) & 0x1:  # content size present
         (content_size,) = struct.unpack_from("<Q", buf, pos)

@@ -40,6 +40,7 @@ class QzStream:
         # src/qatzip_stream.c:599-749)
         self._dobj = None
         self._any_member = False
+        self._lz4 = None             # LZ4-frame walk state (dict)
 
     @property
     def pending_out_sz(self) -> int:
@@ -150,6 +151,112 @@ def _decompress_stream_incremental(sess: QzSession, strm: QzStream, data,
     return C.QZ_OK, _drain(strm, max_out)
 
 
+def _decompress_stream_lz4(sess: QzSession, strm: QzStream, data,
+                           last: int, max_out: int | None):
+    """O(n) piecemeal LZ4-frame decompress: the frame walk (header →
+    block headers → blocks → endmark/footer) carries its offset and
+    per-frame state across calls, so each input byte is examined once.
+    Linked-block frames (FLG block-indep=0) keep a 64KB history window;
+    the content XXH32 folds incrementally (utils.checksum.XXH32State).
+    The reference's stream path is deflate-only (src/qatzip_stream.c:
+    478-484) — this exceeds it, linearly."""
+    import struct as _struct
+
+    from qatzip_tpu.engine.lz4_block import lz4_block_decompress
+    from qatzip_tpu.formats import lz4_fmt
+    from qatzip_tpu.utils import checksum as _ck
+
+    strm.comp_in += bytes(data)
+    st = strm._lz4
+    if st is None:
+        # xxh_all spans catenated frames (the whole-stream digest)
+        st = strm._lz4 = {"phase": "header", "xxh_all": _ck.XXH32State(0)}
+    buf = strm.comp_in
+
+    def consume(k: int) -> None:
+        del buf[:k]
+        strm.in_sz += k
+
+    while True:
+        if st["phase"] == "header":
+            if not buf:
+                break
+            try:
+                hlen, hdr = lz4_fmt.parse_lz4_frame_header(buf, 0)
+            except ValueError as e:
+                if "truncated" in str(e) and len(buf) < 19:
+                    break  # longest possible v1 header is 19 bytes
+                return C.QZ_DATA_ERROR, _drain(strm, max_out)
+            if len(buf) < hlen:
+                break
+            consume(hlen)
+            st.update(phase="block_hdr",
+                      indep=bool((hdr.flg >> 5) & 1),
+                      blk_cksum=bool((hdr.flg >> 4) & 1),
+                      content_cksum=bool((hdr.flg >> 2) & 1),
+                      max_blk=1 << (8 + 2 * max((hdr.bd >> 4) & 7, 4)),
+                      xxh=_ck.XXH32State(0), history=b"")
+        elif st["phase"] == "block_hdr":
+            if len(buf) < 4:
+                break
+            (word,) = _struct.unpack_from("<I", buf, 0)
+            consume(4)
+            if word == 0:
+                st["phase"] = "footer"
+                continue
+            st["bsz"] = word & 0x7FFFFFFF
+            st["stored"] = bool(word & 0x80000000)
+            if st["bsz"] > st["max_blk"] + 16:
+                return C.QZ_DATA_ERROR, _drain(strm, max_out)
+            st["phase"] = "block_body"
+        elif st["phase"] == "block_body":
+            need = st["bsz"] + (4 if st["blk_cksum"] else 0)
+            if len(buf) < need:
+                break
+            blk = bytes(buf[:st["bsz"]])
+            if st["blk_cksum"]:
+                (bck,) = _struct.unpack_from("<I", buf, st["bsz"])
+                if _ck.xxh32(blk, 0) != bck:
+                    return C.QZ_DATA_ERROR, _drain(strm, max_out)
+            consume(need)
+            if st["stored"]:
+                out = blk
+            else:
+                try:
+                    out = lz4_block_decompress(
+                        blk, st["max_blk"],
+                        prefix=b"" if st["indep"] else st["history"])
+                except ValueError:
+                    return C.QZ_DATA_ERROR, _drain(strm, max_out)
+            if not st["indep"]:
+                st["history"] = (st["history"] + out)[-65536:]
+            st["xxh"].update(out)
+            # session checksum = whole-stream xxh32 over all decoded output
+            # (matches the one-shot funnel, engine/core.py:645-647)
+            strm.crc_32 = st["xxh_all"].update(out).digest()
+            strm.pending_out += out
+            st["phase"] = "block_hdr"
+        elif st["phase"] == "footer":
+            if st["content_cksum"]:
+                if len(buf) < 4:
+                    break
+                (cck,) = _struct.unpack_from("<I", buf, 0)
+                consume(4)
+                if st["xxh"].digest() != cck:
+                    return C.QZ_DATA_ERROR, _drain(strm, max_out)
+            strm._any_member = True
+            sess.end_of_last_block = True
+            strm._lz4 = st = {"phase": "header",     # catenated frames
+                              "xxh_all": st["xxh_all"]}
+        else:  # pragma: no cover
+            return C.QZ_FAIL, _drain(strm, max_out)
+
+    mid_frame = st["phase"] != "header" or bool(buf)
+    if last and mid_frame:
+        return C.QZ_DATA_ERROR, _drain(strm, max_out)
+    return C.QZ_OK, _drain(strm, max_out)
+
+
 def qz_decompress_stream(sess: QzSession, strm: QzStream, data=b"",
                          last: int = 0, max_out: int | None = None):
     """Returns (rc, produced_bytes).  Buffers compressed input and emits
@@ -165,8 +272,38 @@ def qz_decompress_stream(sess: QzSession, strm: QzStream, data=b"",
     if wbits is not None:
         return _decompress_stream_incremental(sess, strm, data, last, max_out,
                                               wbits)
+    if sess.params.data_fmt == DataFormatInternal.LZ4_FH:
+        return _decompress_stream_lz4(sess, strm, data, last, max_out)
 
     strm.comp_in += bytes(data)
+    if sess.params.data_fmt == DataFormatInternal.DEFLATE_4B:
+        # the 4B header names the member's compressed length: wait for the
+        # complete member instead of re-parsing the accumulated buffer
+        # every call (keeps piecemeal feeding O(n))
+        import struct as _struct
+
+        from qatzip_tpu.utils import checksum as _ck
+
+        while len(strm.comp_in) >= 4:
+            (clen,) = _struct.unpack_from("<I", strm.comp_in, 0)
+            if len(strm.comp_in) < 4 + clen:
+                return ((C.QZ_DATA_ERROR if last else C.QZ_OK),
+                        _drain(strm, max_out))
+            res = core.decompress_ext(sess, bytes(strm.comp_in[:4 + clen]))
+            if res.rc != C.QZ_OK or res.consumed == 0:
+                return (res.rc if res.rc != C.QZ_OK else C.QZ_DATA_ERROR,
+                        _drain(strm, max_out))
+            strm.pending_out += res.data
+            del strm.comp_in[:res.consumed]
+            strm.in_sz += res.consumed
+            strm.crc_32 = (res.crc if not strm._any_member else
+                           _ck.crc32_combine(strm.crc_32, res.crc,
+                                             len(res.data)))
+            strm._any_member = True
+        if last and strm.comp_in:
+            return C.QZ_DATA_ERROR, _drain(strm, max_out)
+        return C.QZ_OK, _drain(strm, max_out)
+
     if strm.comp_in:
         res = core.decompress_ext(sess, bytes(strm.comp_in))
         if res.rc == C.QZ_DATA_ERROR and not last and res.consumed == 0:

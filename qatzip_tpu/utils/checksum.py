@@ -117,6 +117,80 @@ def xxh32(data, seed: int = 0) -> int:
         return _xx.xxh32(bytes(data), seed).intdigest()
 
 
+class XXH32State:
+    """Incremental XXH32 (RFC-less spec; same mandated constants as the
+    reference's vendored src/xxhash.c).  Used by the streaming LZ4-frame
+    decompressor to fold the content checksum without buffering the whole
+    frame output."""
+
+    _P1, _P2, _P3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
+    _P4, _P5 = 0x27D4EB2F, 0x165667B1
+    _M = 0xFFFFFFFF
+
+    def __init__(self, seed: int = 0):
+        s = seed & self._M
+        self._acc = [(s + self._P1 + self._P2) & self._M,
+                     (s + self._P2) & self._M, s,
+                     (s - self._P1) & self._M]
+        self._seed = s
+        self._buf = bytearray()
+        self._total = 0
+
+    @staticmethod
+    def _rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
+
+    def _round(self, acc: int, lane: int) -> int:
+        acc = (acc + lane * self._P2) & self._M
+        return (self._rotl(acc, 13) * self._P1) & self._M
+
+    def update(self, data) -> "XXH32State":
+        data = bytes(data)
+        self._total += len(data)
+        self._buf += data
+        n = len(self._buf) - (len(self._buf) & 15)
+        if n:
+            import struct as _st
+
+            a = self._acc
+            for (l0, l1, l2, l3) in _st.iter_unpack("<IIII",
+                                                    bytes(self._buf[:n])):
+                a[0] = self._round(a[0], l0)
+                a[1] = self._round(a[1], l1)
+                a[2] = self._round(a[2], l2)
+                a[3] = self._round(a[3], l3)
+            del self._buf[:n]
+        return self
+
+    def digest(self) -> int:
+        import struct as _st
+
+        if self._total >= 16:
+            h = (self._rotl(self._acc[0], 1) + self._rotl(self._acc[1], 7)
+                 + self._rotl(self._acc[2], 12)
+                 + self._rotl(self._acc[3], 18)) & self._M
+        else:
+            h = (self._seed + self._P5) & self._M
+        h = (h + self._total) & self._M
+        buf = bytes(self._buf)
+        i = 0
+        while i + 4 <= len(buf):
+            (lane,) = _st.unpack_from("<I", buf, i)
+            h = (h + lane * self._P3) & self._M
+            h = (self._rotl(h, 17) * self._P4) & self._M
+            i += 4
+        while i < len(buf):
+            h = (h + buf[i] * self._P5) & self._M
+            h = (self._rotl(h, 11) * self._P1) & self._M
+            i += 1
+        h ^= h >> 15
+        h = (h * self._P2) & self._M
+        h ^= h >> 13
+        h = (h * self._P3) & self._M
+        h ^= h >> 16
+        return h
+
+
 def xxh64(data, seed: int = 0) -> int:
     try:
         from qatzip_tpu.native import qzcore as _native

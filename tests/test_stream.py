@@ -153,3 +153,191 @@ def test_decompress_stream_multi_member_incremental(corpus_factory):
         assert rc == qz.QZ_OK
         out += produced
     assert bytes(out) == data
+
+
+# ---------------------------------------------------------------------------
+# Round 5: linear LZ4-frame / 4B streaming decompress + incremental XXH32
+# ---------------------------------------------------------------------------
+def test_xxh32_state_incremental_matches_oracle(corpus_factory):
+    import xxhash
+
+    from qatzip_tpu.utils.checksum import XXH32State
+
+    data = corpus_factory(4096, "random")
+    for splits in ([0], [1, 2, 3], [15, 16, 17], [100, 1000],
+                   [5, 16, 32, 1], [4096]):
+        st = XXH32State(0)
+        pos = 0
+        for s in splits:
+            st.update(data[pos:pos + s])
+            pos += s
+        st.update(data[pos:])
+        assert st.digest() == xxhash.xxh32_intdigest(data, 0)
+    # short totals (< 16 bytes, the no-accumulator path)
+    for n in range(0, 20):
+        st = XXH32State(7)
+        for b in data[:n]:
+            st.update(bytes([b]))
+        assert st.digest() == xxhash.xxh32_intdigest(data[:n], 7)
+
+
+def _lz4_sess():
+    import qatzip_tpu as qz
+
+    sess = qz.QzSession()
+    assert qz.qz_setup_session_lz4(sess, qz.QzSessionParamsLZ4()) == qz.QZ_OK
+    return sess
+
+
+def test_decompress_stream_lz4_piecemeal_linear(corpus_factory):
+    """LZ4-frame streaming decompress is incremental: the accumulation
+    buffer stays bounded (block-sized), each input byte is examined once
+    (round-5 fix: the old path re-parsed the whole buffer per call)."""
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+    from qatzip_tpu.utils import checksum as ck
+
+    data = corpus_factory(1 << 20)
+    comp = qz.qz_compress(_lz4_sess(), data).data
+    dsess = _lz4_sess()
+    strm = S.QzStream()
+    out = bytearray()
+    piece = 997
+    for i in range(0, len(comp), piece):
+        rc, produced = S.qz_decompress_stream(
+            dsess, strm, comp[i:i + piece],
+            last=1 if i + piece >= len(comp) else 0)
+        assert rc == qz.QZ_OK
+        out += produced
+        # bounded carry: at most one block (+header slack) accumulates
+        assert len(strm.comp_in) < 65536 + 64
+    assert bytes(out) == data
+    assert strm.crc_32 == ck.xxh32(data, 0)
+    assert dsess.end_of_last_block
+
+
+def test_decompress_stream_lz4_one_byte_feed(corpus_factory):
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+
+    data = corpus_factory(64 * 1024)
+    comp = qz.qz_compress(_lz4_sess(), data).data
+    dsess = _lz4_sess()
+    strm = S.QzStream()
+    out = bytearray()
+    for i in range(len(comp)):
+        rc, produced = S.qz_decompress_stream(
+            dsess, strm, comp[i:i + 1], last=1 if i == len(comp) - 1 else 0)
+        assert rc == qz.QZ_OK
+        out += produced
+    assert bytes(out) == data
+
+
+def test_decompress_stream_lz4_catenated_frames(corpus_factory):
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+    from qatzip_tpu.utils import checksum as ck
+
+    d1 = corpus_factory(70_000)
+    d2 = corpus_factory(50_000, "random")
+    comp = qz.qz_compress(_lz4_sess(), d1).data + \
+        qz.qz_compress(_lz4_sess(), d2).data
+    dsess = _lz4_sess()
+    strm = S.QzStream()
+    out = bytearray()
+    for i in range(0, len(comp), 1333):
+        rc, produced = S.qz_decompress_stream(
+            dsess, strm, comp[i:i + 1333],
+            last=1 if i + 1333 >= len(comp) else 0)
+        assert rc == qz.QZ_OK
+        out += produced
+    assert bytes(out) == d1 + d2
+    assert strm.crc_32 == ck.xxh32(d1 + d2, 0)
+
+
+def test_decompress_stream_lz4_truncation_detected(corpus_factory):
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+
+    comp = qz.qz_compress(_lz4_sess(), corpus_factory(30_000)).data
+    dsess = _lz4_sess()
+    strm = S.QzStream()
+    rc, _ = S.qz_decompress_stream(dsess, strm, comp[:len(comp) - 5], last=1)
+    assert rc == qz.QZ_DATA_ERROR
+
+
+def test_lz4_block_decompress_prefix_history():
+    """Linked-block frames: match offsets reach into the prior block's
+    output via the prefix argument (LZ4 frame spec, block-indep=0)."""
+    from qatzip_tpu.engine import lz4_block
+
+    prefix = b"ABCDEFGHIJKLMNOP"  # 16 bytes of history
+    # sequence 1: 0 literals, match len 8 (token 0x04) at offset 16 — the
+    # start of the prefix; sequence 2: terminal 4-literal run (token 0x40)
+    blk = bytes([0x04]) + (16).to_bytes(2, "little") + bytes([0x40]) + b"tail"
+    out = lz4_block.lz4_block_decompress(blk, 1 << 20, prefix=prefix)
+    assert out == b"ABCDEFGH" + b"tail"
+
+
+def test_decompress_stream_lz4_linked_blocks():
+    """A hand-built frame with FLG block-indep=0 whose second block copies
+    bytes produced by the first — exercises the cross-block history carry."""
+    import struct
+
+    import xxhash
+
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+
+    part1 = b"0123456789ABCDEF" * 2     # 32 bytes, emitted as stored block
+    # block 2: one sequence, 0 literals, match of 12 bytes at offset 32
+    # (reaches the start of part1), then terminal literals "XY"
+    blk2 = bytes([0x08]) + struct.pack("<H", 32) + bytes([0x20]) + b"XY"
+    expect = part1 + part1[:12] + b"XY"
+    flg = (1 << 6) | (1 << 2)           # v1, content-checksum, LINKED blocks
+    bd = 4 << 4
+    body = bytes([flg, bd])
+    hc = (xxhash.xxh32_intdigest(body, 0) >> 8) & 0xFF
+    frame = (struct.pack("<I", 0x184D2204) + body + bytes([hc])
+             + struct.pack("<I", 0x80000000 | len(part1)) + part1
+             + struct.pack("<I", len(blk2)) + blk2
+             + struct.pack("<I", 0)
+             + struct.pack("<I", xxhash.xxh32_intdigest(expect, 0)))
+    dsess = _lz4_sess()
+    strm = S.QzStream()
+    rc, out = S.qz_decompress_stream(dsess, strm, frame, last=1)
+    assert rc == qz.QZ_OK
+    assert out == expect
+
+
+def test_decompress_stream_4b_piecemeal_linear(corpus_factory):
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+    from qatzip_tpu.constants import QzDataFormat
+
+    data = corpus_factory(400_000)
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsDeflate()
+    p.data_fmt = QzDataFormat.QZ_DEFLATE_4B
+    p.common_params.hw_buff_sz = 32 * 1024
+    assert qz.qz_setup_session_deflate(sess, p) == qz.QZ_OK
+    comp = qz.qz_compress(sess, data).data
+
+    dsess = qz.QzSession()
+    pd = qz.QzSessionParamsDeflate()
+    pd.data_fmt = QzDataFormat.QZ_DEFLATE_4B
+    assert qz.qz_setup_session_deflate(dsess, pd) == qz.QZ_OK
+    strm = S.QzStream()
+    out = bytearray()
+    for i in range(0, len(comp), 1009):
+        rc, produced = S.qz_decompress_stream(
+            dsess, strm, comp[i:i + 1009],
+            last=1 if i + 1009 >= len(comp) else 0)
+        assert rc == qz.QZ_OK
+        out += produced
+        # carry never exceeds one member (4B members are hw_buff_sz-sized)
+        assert len(strm.comp_in) <= 4 + 32 * 1024 + 1024
+    assert bytes(out) == data
+    import zlib
+
+    assert strm.crc_32 == zlib.crc32(data)
