@@ -693,15 +693,19 @@ int64_t qz_deflate_candidates(const uint8_t* src, int64_t n,
         if (maxl < 3) return 0;
         int best = 0;
         uint32_t bd = 0;
-        if (d && (int64_t)d <= p) {
+        // d <= WINDOW: a candidate beyond deflate's 32KB window is not
+        // encodable — must be dropped even if the bytes compare equal
+        // (device candidates respect the window, but the contract is that
+        // arbitrary candidate bytes can never corrupt the stream)
+        if (d && (int64_t)d <= p && d <= WINDOW) {
             int l = match_len(src + p, src + p - d, maxl);
             if (l >= 3) { best = l; bd = d; }
         }
-        if (d2 && d2 != d && (int64_t)d2 <= p) {
+        if (d2 && d2 != d && (int64_t)d2 <= p && d2 <= WINDOW) {
             int l = match_len(src + p, src + p - d2, maxl);
             if (l > best) { best = l; bd = d2; }
         }
-        if (d3 && d3 != d && d3 != d2 && (int64_t)d3 <= p) {
+        if (d3 && d3 != d && d3 != d2 && (int64_t)d3 <= p && d3 <= WINDOW) {
             int l = match_len(src + p, src + p - d3, maxl);
             if (l > best) { best = l; bd = d3; }
         }

@@ -14,6 +14,7 @@ from typing import Sequence
 import numpy as np
 
 from qatzip_tpu.constants import DataFormatInternal, QzHuffmanHdr
+from qatzip_tpu.engine import faults
 from qatzip_tpu.engine.backend import CompressedChunk, DecompressedChunk
 from qatzip_tpu.engine.health import health
 from qatzip_tpu.session import InternalParams
@@ -140,6 +141,7 @@ class DeflateDeviceCodec:
                     from jax.sharding import NamedSharding, PartitionSpec as P
                     dj = jax.device_put(dj, NamedSharding(mesh, P("block", None)))
                     lj = jax.device_put(lj, NamedSharding(mesh, P("block")))
+                faults.check("submit", "compress")
                 cand = (mf.find_candidates_packed(dj, lj, depth)
                         if use_packed else
                         mf.find_candidates(dj, lj, depth, stride=stride))
@@ -154,12 +156,20 @@ class DeflateDeviceCodec:
                 out.extend(_cpu_compress_batch(batch, params))
                 continue
             try:
+                faults.check("death", "compress")
                 cand_np = np.asarray(cand)
             except Exception:
                 health.record_failure()
                 out.extend(_cpu_compress_batch(batch, params))
                 continue
             health.record_success()
+            if faults.armed() and faults.should_fire("poison", "compress"):
+                # a poisoned candidate array must be HARMLESS: the native
+                # parser verifies every candidate by byte compare
+                rngp = np.random.default_rng(0)
+                cand_np = rngp.integers(
+                    0, int(np.iinfo(cand_np.dtype).max) + 1,
+                    cand_np.shape).astype(cand_np.dtype)
             # host assembly threads across cores (qz_deflate_candidates
             # releases the GIL and uses thread_local scratch)
             from qatzip_tpu.engine.cpu_backend import _map_chunks
@@ -288,8 +298,10 @@ class DeflateDeviceCodec:
             batch = payloads[start:start + bsz]
             bh = hints[start:start + bsz]
             try:
+                faults.check("submit", "decompress")
                 ran: list = []
                 results = dd.inflate_batch(batch, bh, kind=kind, ran_out=ran)
+                faults.check("death", "decompress")
                 if ran:
                     # only a round that actually dispatched to the device is
                     # evidence of health; an all-pre-failed batch is not
@@ -305,8 +317,19 @@ class DeflateDeviceCodec:
                     ckv = _chunk_checksum(data, params)
                 else:
                     data, eof, ckv = r
+                    if faults.armed() and data and \
+                            faults.should_fire("poison", "decompress"):
+                        # simulated DMA corruption of decoded output: the
+                        # engine's checksum/size verification must catch it
+                        bad = bytearray(data)
+                        bad[len(bad) // 2] ^= 0x55
+                        data = bytes(bad)
+                        ckv = None
                     if ckv is None:
                         ckv = _chunk_checksum(data, params)
+                    if faults.armed() and \
+                            faults.should_fire("checksum", "decompress"):
+                        ckv ^= 0xDEAD  # checksum-engine fault, good payload
                 out.append(DecompressedChunk(data, ckv, eof))
         return out
 
@@ -346,6 +369,7 @@ class Lz4DeviceCodec:
                     data[i, :len(c)] = np.frombuffer(c, np.uint8)
                     lens[i] = len(c)
                 import os as _os
+                faults.check("submit", "compress")
                 if _os.environ.get("QATZIP_TPU_ENCODER", "hybrid") == "hybrid":
                     # hybrid: device candidate search (same flagship kernel
                     # as deflate), native LZ4 verify/extend/emit
@@ -446,6 +470,7 @@ class Lz4DeviceCodec:
         ran_device = False
         if blocks:
             try:
+                faults.check("submit", "decompress")
                 decoded = lz4_decode.decode_blocks(blocks, mini_match=mini)
                 ran_device = True
             except Exception:

@@ -50,32 +50,33 @@ def test_engine_routes_sw_when_breaker_open(monkeypatch, corpus_factory):
 
 
 def test_per_batch_compress_failover(monkeypatch, corpus_factory):
-    """A device batch that raises falls back to the CPU for that batch
-    only; output stays valid end-to-end."""
+    """An injected submit fault fails one device batch; that batch falls
+    back to the CPU, later batches stay on the device, output is valid
+    end-to-end (compInSWFallback contract, reference src/qatzip_sw.c:
+    697-748; injector = the ERR_INJECTION hook, include/qatzip.h:494-498)."""
     monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine import faults
     from qatzip_tpu.engine.health import health
-    from qatzip_tpu.ops import match_finder as mf
 
-    calls = {"n": 0}
-    real = mf.find_candidates
+    # 300KB / 4KB chunks = ~74 chunks = two 64-chunk batches; fail only
+    # the first
+    faults.inject_error("submit", nth=1, direction="compress", count=1)
+    try:
+        data = corpus_factory(300_000, "text")
+        fails_before = health.total_failures
+        comp = qz.compress(data, "deflate",
+                           fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                           level=1, hw_buff_sz=4096)
+        assert health.total_failures == fails_before + 1
+        assert not faults.armed()      # the fault fired
+        assert qz.decompress(comp, "deflate", hw_buff_sz=4096,
+                             sw_only=True) == data
+        import gzip as _gzip
 
-    def flaky(*a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("injected device failure")
-        return real(*a, **kw)
-
-    monkeypatch.setattr(mf, "find_candidates", flaky)
-    data = corpus_factory(200_000, "text")
-    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
-                       level=1, hw_buff_sz=4096)
-    assert calls["n"] >= 1
-    assert qz.decompress(comp, "deflate", hw_buff_sz=4096,
-                         sw_only=True) == data
-    import gzip as _gzip
-
-    assert _gzip.decompress(comp) == data
-    health.record_success()
+        assert _gzip.decompress(comp) == data
+    finally:
+        faults.clear()
+        health.record_success()
 
 
 def test_device_checksums_flow_through_api(monkeypatch, corpus_factory):
@@ -196,3 +197,157 @@ def test_concurrent_sessions_multiplex(corpus_factory, monkeypatch):
     for t in ts:
         t.join(timeout=120)
     assert all(results[i] == data for i in range(4))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: first-class fault injection (the reference's ERR_INJECTION
+# session hooks, include/qatzip.h:494-498, implemented for real)
+# ---------------------------------------------------------------------------
+def _gz_sess(hw_buff_sz=8192, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT):
+    sess = qz.QzSession()
+    p = qz.QzSessionParamsDeflate()
+    p.common_params.comp_lvl = 1
+    p.common_params.hw_buff_sz = hw_buff_sz
+    p.data_fmt = fmt
+    assert qz.qz_setup_session_deflate(sess, p) == qz.QZ_OK
+    return sess
+
+
+def test_fault_death_mid_batch_compress(monkeypatch, corpus_factory):
+    """Device dies after submit (result materialization fails): the batch
+    reroutes to the CPU post-hoc (compOutSWFallback, src/qatzip.c:1677)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine import faults
+    from qatzip_tpu.engine.health import health
+
+    faults.inject_error("death", nth=1, direction="compress", count=1)
+    try:
+        data = corpus_factory(100_000, "text")
+        comp = qz.compress(data, "deflate",
+                           fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, level=1)
+        assert not faults.armed()
+        import gzip as _gzip
+
+        assert _gzip.decompress(comp) == data
+    finally:
+        faults.clear()
+        health.record_success()
+
+
+def test_fault_poison_compress_is_harmless(monkeypatch, corpus_factory):
+    """Poisoned candidate output must NOT corrupt the stream: the native
+    parser verifies every candidate by byte compare, so garbage candidates
+    only cost ratio."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine import faults
+    from qatzip_tpu.engine.health import health
+
+    faults.inject_error("poison", nth=1, direction="compress", count=1)
+    try:
+        data = corpus_factory(120_000, "text")
+        comp = qz.compress(data, "deflate",
+                           fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, level=1)
+        assert not faults.armed()
+        import gzip as _gzip
+
+        assert _gzip.decompress(comp) == data
+    finally:
+        faults.clear()
+        health.record_success()
+
+
+def test_fault_poison_decompress_detected(monkeypatch, corpus_factory):
+    """Corrupted device-decoded bytes must be detected by the footer
+    checksum/size verification (decompOutCheckSum analog,
+    src/qatzip_utils.c:1350-1427), never silently returned."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine import faults
+    from qatzip_tpu.engine.health import health
+
+    data = corpus_factory(60_000, "text")
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP,
+                       sw_only=True)
+    faults.inject_error("poison", nth=1, direction="decompress", count=1)
+    try:
+        sess = _gz_sess(fmt=QzDataFormat.QZ_DEFLATE_GZIP)
+        res = qz.qz_decompress(sess, comp)
+        assert res.rc == qz.QZ_DATA_ERROR or res.data != data[:0]
+        if res.rc == qz.QZ_OK:
+            # only acceptable if the poisoned batch never reached the
+            # device path (fault still armed)
+            assert faults.armed()
+            assert res.data == data
+    finally:
+        faults.clear()
+        health.record_success()
+
+
+def test_fault_checksum_engine_detected(monkeypatch, corpus_factory):
+    """A wrong device checksum with a good payload must fail the request
+    (checksum-engine fault)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    from qatzip_tpu.engine import faults
+    from qatzip_tpu.engine.health import health
+
+    data = corpus_factory(60_000, "text")
+    comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                       sw_only=True)
+    faults.inject_error("checksum", nth=1, direction="decompress", count=1)
+    try:
+        sess = _gz_sess()
+        res = qz.qz_decompress(sess, comp)
+        if faults.armed():
+            # batch was pre-routed to the CPU on this host: no device event
+            assert res.rc == qz.QZ_OK and res.data == data
+        else:
+            assert res.rc == qz.QZ_DATA_ERROR
+    finally:
+        faults.clear()
+        health.record_success()
+
+
+def test_fault_trip_then_sticky_sw_then_revival(monkeypatch, corpus_factory):
+    """Persistent submit faults trip the breaker (device requests stop);
+    after cooldown the recovery probe re-admits the (healed) device and
+    traffic returns — the RESTARTING -> RESTARTED cycle
+    (reference src/qatzip.c:245-280, 684-687)."""
+    monkeypatch.setenv("QATZIP_TPU_DEVICE", "1")
+    import qatzip_tpu.engine.health as hm
+    from qatzip_tpu.engine import faults
+    from qatzip_tpu.engine.core import _engine
+    from qatzip_tpu.engine.health import health
+
+    data = corpus_factory(64_000, "text")
+
+    def comp_once():
+        return qz.compress(data, "deflate",
+                           fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, level=1,
+                           hw_buff_sz=8192)
+
+    faults.inject_error("submit", direction="compress", count=-1)
+    t = [1000.0]
+    monkeypatch.setattr(hm.time, "monotonic", lambda: t[0])
+    try:
+        fails0 = health.total_failures
+        for _ in range(hm.FAILURE_TRIP):
+            comp = comp_once()          # each trips one failure, output OK
+            import gzip as _gzip
+
+            assert _gzip.decompress(comp) == data
+        assert health.total_failures == fails0 + hm.FAILURE_TRIP
+        assert not health.healthy()     # breaker open
+        # while open: requests run, stay SW, and record no new failures
+        hw0 = _engine.hw_requests
+        comp = comp_once()
+        assert _engine.hw_requests == hw0
+        assert health.total_failures == fails0 + hm.FAILURE_TRIP
+        # device heals; cooldown passes; the next request is the probe and
+        # closes the breaker
+        faults.clear()
+        t[0] += hm.COOLDOWN_S + 1
+        comp = comp_once()
+        assert health.healthy()
+        assert _engine.hw_requests > hw0   # traffic returned to the device
+    finally:
+        faults.clear()
+        health.record_success()
