@@ -579,13 +579,20 @@ _LOCKSTEP_NW = (1024, 4096, 16896)       # stream words per lane (buckets)
 _LOCKSTEP_STEPS = (1024, 4096, 16384, 65664)
 
 
-def _lockstep_regions(s):
+def _lockstep_regions(s, spec=None):
+    """Packed table regions for one block, in the active driver's layout
+    (the Pallas lane-major driver uses smaller roots than the XLA
+    reference driver — pallas_inflate.region_spec)."""
     from qatzip_tpu.ops import pallas_inflate as PI
 
+    if spec is None:
+        spec = PI.region_spec(PI.pallas_active())
+    ll_rb, d_rb, _, _ = spec
     if getattr(s, "_lens", None) is None:
-        return PI.static_regions()
+        return PI.static_regions(ll_rb, d_rb)
     ll_lens, d_lens = s._lens
-    return PI.build_ll_region(ll_lens), PI.build_d_region(d_lens)
+    return (PI.build_ll_region(ll_lens, ll_rb),
+            PI.build_d_region(d_lens, d_rb))
 
 
 def _apply_tokens_py(lane_tokens: np.ndarray, window: bytes,
@@ -623,10 +630,11 @@ def _run_device_round_lockstep(batch) -> None:
     from qatzip_tpu.ops import pallas_inflate as PI
 
     B = PI.LANES
+    spec = PI.region_spec(PI.pallas_active())
     live: list[tuple] = []
     for s in batch:
         try:
-            regions = _lockstep_regions(s)
+            regions = _lockstep_regions(s, spec)
         except ValueError:
             s.failed = True  # over-subscribed/invalid code: CPU decides
             continue
@@ -648,8 +656,8 @@ def _run_device_round_lockstep(batch) -> None:
     stream8 = np.zeros((B, NW * 4), np.uint8)
     bit0 = np.zeros((B,), np.int32)
     nbits = np.zeros((B,), np.int32)
-    tll = np.zeros((B, PI.CELLS), np.uint32)
-    td = np.zeros((B, PI.CELLS), np.uint32)
+    tll = np.zeros((B, spec[2]), np.uint32)
+    td = np.zeros((B, spec[3]), np.uint32)
     active = np.zeros((B,), bool)
     for i, (s, regions, byte0, rem, words) in enumerate(live):
         pv = np.frombuffer(s.payload, np.uint8, len(s.payload) - byte0,
@@ -662,26 +670,14 @@ def _run_device_round_lockstep(batch) -> None:
 
     tokens, err, outcnt, end_bit, _ns = PI.decode_blocks(
         stream8.view("<u4"), bit0, nbits, tll, td, active, MS)
-    tiled = isinstance(tokens, tuple)  # pallas driver: ("tiled", [NT,B,T])
-    if tiled:
-        tokens3 = np.ascontiguousarray(tokens[1])
-    else:
-        tokens = np.ascontiguousarray(tokens)
+    tokens = np.ascontiguousarray(tokens)
 
     for i, (s, regions, byte0, rem, words) in enumerate(live):
         if err[i] or end_bit[i] < 0 or outcnt[i] > rem:
             s.failed = True
             continue
         try:
-            if tiled:
-                if _native is not None:
-                    data = _native.apply_tokens_tiled(
-                        tokens3, i, s.window, len(s.window), int(outcnt[i]))
-                else:
-                    data = _apply_tokens_py(
-                        tokens3[:, i, :].reshape(-1), s.window,
-                        int(outcnt[i]))
-            elif _native is not None:
+            if _native is not None:
                 data = _native.apply_tokens(tokens, i, s.window,
                                             len(s.window), int(outcnt[i]))
             else:

@@ -50,8 +50,39 @@ import numpy as np
 from qatzip_tpu.ops import deflate_tables as T
 
 LANES = 128          # blocks decoded in lockstep
-CELLS = 512          # u32 cells per table region (root 256 + sub 256)
-ROOT_BITS = 9
+CELLS = 512          # u32 cells per XLA-driver region (root 256 + sub 256)
+ROOT_BITS = 9        # XLA-driver root bits
+SUB_ENTRIES = 512    # sub-area entries (256 cells) in every region layout
+
+# Pallas (lane-major) driver region layout: smaller roots make the
+# one-hot root fetch cheap (row count = vreg count = VPU ops); measured
+# on real zlib tables (L1/6/9, three corpora) the worst-case sub demand
+# is 278 entries for an 8-bit litlen root and 22 for a 7-bit dist root —
+# both far under the 512-entry sub area, so overflow (-> CPU fallback)
+# only happens on adversarial-but-legal tables.
+PALLAS_LL_ROOT_BITS = 8
+PALLAS_D_ROOT_BITS = 7
+PALLAS_LL_CELLS = (1 << PALLAS_LL_ROOT_BITS) // 2 + SUB_ENTRIES // 2  # 384
+PALLAS_D_CELLS = (1 << PALLAS_D_ROOT_BITS) // 2 + SUB_ENTRIES // 2   # 320
+
+
+def pallas_active() -> bool:
+    """True when decode_blocks will dispatch to the Pallas driver (the
+    region layout the caller must build depends on this)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def region_spec(use_pallas: bool):
+    """(ll_root_bits, d_root_bits, ll_cells, d_cells) for the driver."""
+    if use_pallas:
+        return (PALLAS_LL_ROOT_BITS, PALLAS_D_ROOT_BITS,
+                PALLAS_LL_CELLS, PALLAS_D_CELLS)
+    return (ROOT_BITS, ROOT_BITS, CELLS, CELLS)
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +106,8 @@ def _pack_cells(u16: np.ndarray) -> np.ndarray:
 
 
 def _build_twolevel(lens: np.ndarray, entry16: np.ndarray,
-                    valid: np.ndarray) -> np.ndarray:
+                    valid: np.ndarray, root_bits: int = ROOT_BITS
+                    ) -> np.ndarray:
     """Build the packed region from per-symbol code lengths and u16 entries
     (clen/kind/payload already packed; clen filled in here).  ``valid``
     marks symbols legal in a stream — invalid ones (286/287, dist 30/31)
@@ -90,46 +122,47 @@ def _build_twolevel(lens: np.ndarray, entry16: np.ndarray,
         raise ValueError("over-subscribed Huffman code")
     entries = np.where((lens > 0) & valid, entry16 | lens.astype(np.uint16),
                        0).astype(np.uint16)
-    root = np.zeros(512, np.uint16)
-    sub = np.zeros(512, np.uint16)
-    for l in range(1, ROOT_BITS + 1):
+    root = np.zeros(1 << root_bits, np.uint16)
+    sub = np.zeros(SUB_ENTRIES, np.uint16)
+    for l in range(1, root_bits + 1):
         syms = np.nonzero(lens == l)[0]
         if syms.size == 0:
             continue
         rc = _bitrev_vec(codes[syms], np.full(syms.size, l, np.int64))
-        fills = np.arange(1 << (ROOT_BITS - l), dtype=np.int64) << l
+        fills = np.arange(1 << (root_bits - l), dtype=np.int64) << l
         idx = (rc[:, None] | fills[None, :]).reshape(-1)
-        root[idx] = np.repeat(entries[syms], 1 << (ROOT_BITS - l))
-    long_syms = np.nonzero(lens > ROOT_BITS)[0]
+        root[idx] = np.repeat(entries[syms], 1 << (root_bits - l))
+    long_syms = np.nonzero(lens > root_bits)[0]
     if long_syms.size:
         rcf = _bitrev_vec(codes[long_syms], lens[long_syms])
-        slots = rcf & (512 - 1)
+        slots = rcf & ((1 << root_bits) - 1)
         next_free = 0
         for slot in np.unique(slots):
             sel = slots == slot
             syms = long_syms[sel]
             rcs = rcf[sel]
-            subbits = int(lens[syms].max()) - ROOT_BITS
+            subbits = int(lens[syms].max()) - root_bits
             size = 1 << subbits
-            if next_free + size > 512:
+            if next_free + size > SUB_ENTRIES:
                 raise ValueError("subtable overflow")
             if root[slot] != 0:
                 raise ValueError("root/sub collision")  # over-subscription
             root[slot] = np.uint16(subbits | (3 << 4) | ((next_free >> 1) << 6))
-            for l in range(ROOT_BITS + 1, 16):
+            for l in range(root_bits + 1, 16):
                 lsel = lens[syms] == l
                 if not lsel.any():
                     continue
-                rc = rcs[lsel] >> ROOT_BITS
-                fills = (np.arange(1 << (subbits - (l - ROOT_BITS)),
-                                   dtype=np.int64) << (l - ROOT_BITS))
+                rc = rcs[lsel] >> root_bits
+                fills = (np.arange(1 << (subbits - (l - root_bits)),
+                                   dtype=np.int64) << (l - root_bits))
                 idx = next_free + (rc[:, None] | fills[None, :]).reshape(-1)
                 sub[idx] = np.repeat(entries[syms[lsel]], fills.size)
             next_free += size
     return np.concatenate([_pack_cells(root), _pack_cells(sub)])
 
 
-def build_ll_region(lens: np.ndarray) -> np.ndarray:
+def build_ll_region(lens: np.ndarray,
+                    root_bits: int = ROOT_BITS) -> np.ndarray:
     """Packed litlen region from code lengths (hlit entries)."""
     nsym = len(lens)
     e = np.zeros(nsym, np.uint16)
@@ -141,22 +174,25 @@ def build_ll_region(lens: np.ndarray) -> np.ndarray:
     hi = min(nsym, 286)
     for s in range(257, hi):
         e[s] = (1 << 4) | ((s - 257) << 6)
-    return _build_twolevel(lens, e, sym < 286)
+    return _build_twolevel(lens, e, sym < 286, root_bits)
 
 
-def build_d_region(lens: np.ndarray) -> np.ndarray:
+def build_d_region(lens: np.ndarray,
+                   root_bits: int = ROOT_BITS) -> np.ndarray:
     """Packed distance region from code lengths (hdist entries)."""
     nsym = len(lens)
     e = np.zeros(nsym, np.uint16)
     hi = min(nsym, 30)
     e[:hi] = (np.arange(hi, dtype=np.uint16)) << 6
-    return _build_twolevel(lens, e, np.arange(nsym) < 30)
+    return _build_twolevel(lens, e, np.arange(nsym) < 30, root_bits)
 
 
-@functools.lru_cache(maxsize=1)
-def static_regions() -> tuple[np.ndarray, np.ndarray]:
-    return (build_ll_region(T.STATIC_LITLEN_LEN),
-            build_d_region(T.STATIC_DIST_LEN))
+@functools.lru_cache(maxsize=4)
+def static_regions(root_bits_ll: int = ROOT_BITS,
+                   root_bits_d: int = ROOT_BITS
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    return (build_ll_region(T.STATIC_LITLEN_LEN, root_bits_ll),
+            build_d_region(T.STATIC_DIST_LEN, root_bits_d))
 
 
 # ---------------------------------------------------------------------------
@@ -168,39 +204,42 @@ def _mask(nbits):
     return (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1)
 
 
-def _resolve(fetch_cell, bits, sub_cell_base):
+def _resolve(root_fetch, sub_fetch, bits, root_bits):
     """Root+sub lookup through the packed region.  Returns the final u16
     entry (as u32) and the consumed-code length field."""
     import jax.numpy as jnp
 
     _u = jnp.uint32
-    idx9 = (bits & _u(511)).astype(jnp.int32)
-    cell = fetch_cell(idx9 >> 1)
+    idx9 = (bits & _u((1 << root_bits) - 1)).astype(jnp.int32)
+    cell = root_fetch(idx9 >> 1)
     e = (cell >> ((idx9.astype(_u) & _u(1)) << _u(4))) & _u(0xFFFF)
     is_sub = ((e >> _u(4)) & _u(3)) == _u(3)
     subbits = e & _u(15)
     sidx = (((e >> _u(6)) & _u(0xFF)) << _u(1)).astype(jnp.int32) + \
-        ((bits >> _u(ROOT_BITS)) & _mask(subbits)).astype(jnp.int32)
-    cell2 = fetch_cell(sub_cell_base + (sidx >> 1))
+        ((bits >> _u(root_bits)) & _mask(subbits)).astype(jnp.int32)
+    cell2 = sub_fetch(sidx >> 1)
     e2 = (cell2 >> ((sidx.astype(_u) & _u(1)) << _u(4))) & _u(0xFFFF)
     return jnp.where(is_sub, e2, e)
 
 
-def decode_step(peek2, ll_cell, d_cell, st):
+def decode_step(peek2, ll_root, ll_sub, d_root, d_sub, st,
+                ll_root_bits: int = ROOT_BITS,
+                d_root_bits: int = ROOT_BITS):
     """One lockstep symbol decode.  ``st`` = (bitpos i32, done b, err b,
     outcnt i32, end_bit i32); ``peek2(bitpos) -> (u32, u32)`` returns the
     next 64 stream bits as two words (ONE gather level per step — the
-    distance code's bits derive arithmetically); ``*_cell(cell_idx) ->
-    u32`` fetch packed table cells.  Length/distance base+extra come from
-    closed forms (RFC1951's tables are geometric), removing two dependent
-    gather levels.  Returns (token u32, new_st)."""
+    distance code's bits derive arithmetically); ``*_root/*_sub(cell_idx)
+    -> u32`` fetch packed table cells from the root/sub areas.
+    Length/distance base+extra come from closed forms (RFC1951's tables
+    are geometric), removing two dependent gather levels.  Returns
+    (token u32, new_st)."""
     import jax.numpy as jnp
 
     bitpos, done, err, outcnt, end_bit = st
     _u = jnp.uint32
 
     b0, b1 = peek2(bitpos)
-    e = _resolve(ll_cell, b0, 256)
+    e = _resolve(ll_root, ll_sub, b0, ll_root_bits)
     clen = (e & _u(15)).astype(jnp.int32)
     kind = ((e >> _u(4)) & _u(3)).astype(jnp.int32)
     bad = (e == _u(0)) | (kind == 3)  # unresolved subptr = corrupt stream
@@ -223,7 +262,7 @@ def decode_step(peek2, ll_cell, d_cell, st):
 
     u1 = used1.astype(_u)
     bits2 = (b0 >> u1) | ((b1 << (_u(31) - u1)) << _u(1))
-    ed = _resolve(d_cell, bits2, 256)
+    ed = _resolve(d_root, d_sub, bits2, d_root_bits)
     dclen = (ed & _u(15)).astype(jnp.int32)
     dbad = (ed == _u(0)) | (((ed >> _u(4)) & _u(3)) != 0)
     ds = ((ed >> _u(6)) & _u(31)).astype(jnp.int32)
@@ -279,10 +318,11 @@ def _decode_xla(stream_words, bit0, nbits, tll, td, active0, max_steps: int):
         b1 = (w1 >> sh) | ((w2 << (_u(31) - sh)) << _u(1))
         return b0, b1
 
-    def mk_cell(tbl):
+    def mk_cell(tbl, base):
         def f(idx):
             return jnp.take_along_axis(
-                tbl, jnp.clip(idx, 0, CELLS - 1)[:, None], axis=1)[:, 0]
+                tbl, jnp.clip(base + idx, 0, CELLS - 1)[:, None],
+                axis=1)[:, 0]
         return f
 
     tokens0 = jnp.zeros((max_steps, B), _u)
@@ -294,7 +334,8 @@ def _decode_xla(stream_words, bit0, nbits, tll, td, active0, max_steps: int):
 
     def body(carry):
         step, st, tokens = carry
-        tok, st2 = decode_step(peek2, mk_cell(tll), mk_cell(td), st)
+        tok, st2 = decode_step(peek2, mk_cell(tll, 0), mk_cell(tll, 256),
+                               mk_cell(td, 0), mk_cell(td, 256), st)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, tok, step,
                                                      axis=0)
         return step + 1, st2, tokens

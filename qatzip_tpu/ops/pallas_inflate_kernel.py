@@ -1,26 +1,37 @@
-"""Pallas TPU driver for the lockstep DEFLATE entropy decoder.
+"""Pallas TPU driver for the lockstep DEFLATE entropy decoder — lane-major
+layout (round 5).
 
-Construct discipline (every dynamic-addressing form crashes Mosaic on this
-target — tools/probe_inflate_step*.py):
-  * gathers: ONLY jnp.take_along_axis over [128, 128] with a full-width
-    index (563 ns measured for a full 8-gather decode step);
-  * refills: one-hot masked ACCUMULATION over statically-unrolled rows
-    (pure elementwise; no dynamic slices, no per-lane DMA), predicated
-    with pl.when.  Two levels — a 1152-word superwindow rebuilt rarely
-    from the stream array, and the 128-word gather window rebuilt from
-    the superwindow — so stream VMEM traffic is ~20x lower than a
-    single-level refill (v1 read the whole 8.5MB stream per refill);
-  * token output: select-accumulate into a register tile, flushed by DMA
-    to the HBM output at a major-axis offset (proven in probe v4);
-  * state: [128, 128] column-constant i32 vectors (blocks along sublanes;
-    i1 loop carries trip a Mosaic layout ICE).
+Round 4 kept per-block state in [128, 128] column-constant vectors (one
+block per SUBLANE row) because the only proven gather was full-width
+``take_along_axis`` over [128, 128]; every elementwise op then cost 16 VPU
+cycles and the step measured 2374 ns.  Round 5 flips the layout: one block
+per LANE, all scalar state as [1, 128] vectors (1 VPU cycle per op), with
+gathers done as ONE-HOT ROW REDUCTIONS over lane-major operands:
+
+    g[b] = sum_w (w == idx[b]) * T[w, b]        # pure elementwise + reduce
+
+whose cost is proportional to the operand's row count — so roots shrink to
+8 bits (litlen) / 7 bits (dist), making the four table fetches ~the whole
+step.  Measured (tools/probe_inflate_step5.py): full step skeleton 634 ns
+vs 2374 — 3.7x.  Sublane ``take_along_axis`` lowers only for [8, 128]
+operands; taller operands fail, and [128,128] transposes cost ~3 us — fine
+per window refill (amortized over ~200 steps), fatal per step.
 
 Layouts:
-  stream3 u32[128, NB2, 128]   — per-block stream words, 128-word rows
-  superwindow u32[128, 18*64]  — words [64*16Q, 64*(16Q+18)) per block
-  window  u32[128, 128]        — words [64q, 64q+128) per block
-  tll/td  u32[128, 512]        — packed table regions (4 slabs each)
-  tokens  u32[NT, 128, 128]    — token(step s, block b) = [s//128, b, s%128]
+  stream3 u32[128, NB2, 128]  — per-block stream words, block = sublane
+                                (kept from round 4: the superwindow refill
+                                needs per-sublane row selects)
+  superwindow u32[128, 18*64] — block = sublane (round-4 machinery)
+  win     u32[128, 128]       — block = sublane; rebuilt per refill
+  winT    u32[128, 128]       — transpose of win: word = sublane,
+                                block = LANE — what the step reads
+  tllT    u32[384, 128]       — litlen region, cell = sublane, block =
+                                lane (128 root cells + 256 sub cells)
+  tdT     u32[320, 128]       — dist region (64 root + 256 sub cells)
+  tokens  u32[MS, 128]        — token(step s, block b) = [s, b]; chunks of
+                                CHUNK rows DMA'd to HBM as they fill
+
+Reference HW decompress role: src/qatzip.c:2103-2355.
 """
 from __future__ import annotations
 
@@ -31,13 +42,17 @@ import numpy as np
 from qatzip_tpu.ops import pallas_inflate as PI
 
 LANES = PI.LANES
-TILE = 128            # steps per token tile (one DMA per tile)
-CHUNK = 32            # steps per refill-check (32*49 bits < 2048 budget)
+CHUNK = 32            # steps per refill-check + token DMA (32*48 bits < 2048)
 REFILL_THRESH = 2048  # refill when any lane's window-relative bits exceed
 SWROWS = 18           # superwindow rows of 64 words
 
+LL_CELLS = PI.PALLAS_LL_CELLS   # 384
+D_CELLS = PI.PALLAS_D_CELLS     # 320
+LL_ROOT_CELLS = (1 << PI.PALLAS_LL_ROOT_BITS) // 2   # 128
+D_ROOT_CELLS = (1 << PI.PALLAS_D_ROOT_BITS) // 2     # 64
 
-def _mk_kernel(NB2: int, NT: int):
+
+def _mk_kernel(NB2: int, MS: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -45,16 +60,23 @@ def _mk_kernel(NB2: int, NT: int):
 
     _u = jnp.uint32
     R = LANES
+    NC = MS // CHUNK
 
     def kernel(stream_ref, bit0_ref, nbits_ref, tll_ref, td_ref,
                active_ref,
                tok_ref, err_ref, cnt_ref, end_ref, ns_ref,
-               tile_scratch, win_ref, sw_ref, qv_ref, Qv_ref, sem):
+               chunk_scratch, win_ref, winT_ref, sw_ref,
+               qvl_ref, Qv_ref, Qvl_ref, sem):
 
-        def super_refill(bitpos):
+        def to_col(x_lane):
+            """[1,128] lane-major -> [128,128] column-constant (row r =
+            lane r's value).  One Mosaic transpose (~3 us) — refill-only."""
+            return jnp.transpose(jnp.broadcast_to(x_lane, (R, R)))
+
+        def super_refill(bp_col, bp_lane):
             """Rebuild the superwindow at 1024-word-aligned base; one pass
             over the stream rows, 18 destination-row selects each."""
-            Q2 = (bitpos >> 11) >> 4
+            Q2 = (bp_col >> 11) >> 4
             base = Q2 << 4  # in 64-word rows
             acc = [jnp.zeros((R, 64), jnp.int32) for _ in range(SWROWS)]
             for b in range(NB2):
@@ -68,9 +90,10 @@ def _mk_kernel(NB2: int, NT: int):
                                                  [:, :64], hi, acc[j]))
             sw_ref[:] = jnp.concatenate(acc, axis=1).astype(_u)
             Qv_ref[:] = Q2
+            Qvl_ref[:] = (bp_lane >> 11) >> 4
 
-        def win_refill(bitpos):
-            q2 = bitpos >> 11
+        def win_refill(bp_col, bp_lane):
+            q2 = bp_col >> 11
             r = q2 - (Qv_ref[:] << 4)     # 64-word row within superwindow
             first = jnp.zeros((R, 64), _u)
             second = jnp.zeros((R, 64), _u)
@@ -78,108 +101,107 @@ def _mk_kernel(NB2: int, NT: int):
                 swrow = sw_ref[:, j * 64:(j + 1) * 64]
                 first = jnp.where((r == j)[:, :64], swrow, first)
                 second = jnp.where((r == j - 1)[:, :64], swrow, second)
-            win_ref[:] = jnp.concatenate([first, second], axis=1)
-            qv_ref[:] = q2
+            win = jnp.concatenate([first, second], axis=1)
+            win_ref[:] = win
+            winT_ref[:] = jnp.transpose(win)
+            qvl_ref[:] = bp_lane >> 11
 
-        def mk_peek(win, qv):
+        rowi128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+
+        def onehot(tbl_i32, idx_lane, nrows, rowi=None):
+            """g[b] = tbl[idx[b], b]: one-hot row reduction (no gathers)."""
+            if rowi is None:
+                rowi = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 0)
+            m = rowi == idx_lane
+            return jnp.sum(jnp.where(m, tbl_i32, 0), axis=0, keepdims=True)
+
+        # hoist table areas as i32 values (one load each; one-hot sums in
+        # i32 — entries are u16 pairs per u32 cell, bit-exact in i32)
+        ll_root = tll_ref[0:LL_ROOT_CELLS, :].astype(jnp.int32)
+        ll_sub = tll_ref[LL_ROOT_CELLS:LL_CELLS, :].astype(jnp.int32)
+        d_root = td_ref[0:D_ROOT_CELLS, :].astype(jnp.int32)
+        d_sub = td_ref[D_ROOT_CELLS:D_CELLS, :].astype(jnp.int32)
+
+        def mk_peek(winT_i32, qvl):
             def peek2(bitpos):
-                rel = bitpos - (qv << 11)
+                rel = bitpos - (qvl << 11)
                 wi = jnp.clip(rel >> 5, 0, 125)
                 sh = (rel & 31).astype(_u)
-                w0 = jnp.take_along_axis(win, wi, axis=1)
-                w1 = jnp.take_along_axis(win, wi + 1, axis=1)
-                w2 = jnp.take_along_axis(win, wi + 2, axis=1)
+                w0 = onehot(winT_i32, wi, R, rowi128).astype(_u)
+                w1 = onehot(winT_i32, wi + 1, R, rowi128).astype(_u)
+                w2 = onehot(winT_i32, wi + 2, R, rowi128).astype(_u)
                 b0 = (w0 >> sh) | ((w1 << (_u(31) - sh)) << _u(1))
                 b1 = (w1 >> sh) | ((w2 << (_u(31) - sh)) << _u(1))
                 return b0, b1
             return peek2
 
-        # hoist table slabs as values (one load each)
-        ll_s = [tll_ref[:, k * 128:(k + 1) * 128] for k in range(4)]
-        d_s = [td_ref[:, k * 128:(k + 1) * 128] for k in range(4)]
-
-        def mk_cell(slabs):
+        def mk_fetch(area, nrows):
             def fetch(idx):
-                w = idx & 127
-                g0 = jnp.take_along_axis(slabs[0], w, axis=1)
-                g1 = jnp.take_along_axis(slabs[1], w, axis=1)
-                g2 = jnp.take_along_axis(slabs[2], w, axis=1)
-                g3 = jnp.take_along_axis(slabs[3], w, axis=1)
-                hi = idx >> 7
-                return jnp.where(hi == 0, g0,
-                                 jnp.where(hi == 1, g1,
-                                           jnp.where(hi == 2, g2, g3)))
+                return onehot(area, jnp.clip(idx, 0, nrows - 1),
+                              nrows).astype(_u)
             return fetch
 
-        ll_cell = mk_cell(ll_s)
-        d_cell = mk_cell(d_s)
-        lanecol = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        ll_root_f = mk_fetch(ll_root, LL_ROOT_CELLS)
+        ll_sub_f = mk_fetch(ll_sub, LL_CELLS - LL_ROOT_CELLS)
+        d_root_f = mk_fetch(d_root, D_ROOT_CELLS)
+        d_sub_f = mk_fetch(d_sub, D_CELLS - D_ROOT_CELLS)
 
         def step_i32(peek2, st_i):
             bitpos, done_i, err_i, outcnt, end_bit = st_i
             tok, st2 = PI.decode_step(
-                peek2, ll_cell, d_cell,
-                (bitpos, done_i != 0, err_i != 0, outcnt, end_bit))
+                peek2, ll_root_f, ll_sub_f, d_root_f, d_sub_f,
+                (bitpos, done_i != 0, err_i != 0, outcnt, end_bit),
+                ll_root_bits=PI.PALLAS_LL_ROOT_BITS,
+                d_root_bits=PI.PALLAS_D_ROOT_BITS)
             return tok, (st2[0], st2[1].astype(jnp.int32),
                          st2[2].astype(jnp.int32), st2[3], st2[4])
 
-        bit0 = bit0_ref[:]
+        bit0 = bit0_ref[:]                     # [1,128]
         active = active_ref[:] != 0
-        super_refill(bit0)
-        win_refill(bit0)
+        bc0 = to_col(bit0)
+        super_refill(bc0, bit0)
+        win_refill(bc0, bit0)
         st0 = (bit0, (~active).astype(jnp.int32),
-               jnp.zeros((R, 128), jnp.int32),
-               jnp.zeros((R, 128), jnp.int32),
-               jnp.full((R, 128), -1, jnp.int32))
+               jnp.zeros((1, R), jnp.int32),
+               jnp.zeros((1, R), jnp.int32),
+               jnp.full((1, R), -1, jnp.int32))
 
-        def tile_body(carry):
-            t, st, _alldone = carry
-            tile = jnp.zeros((R, TILE), _u)
+        def chunk_body(carry):
+            c, st, _alldone = carry
+            bitpos = st[0]
+            sup_gap = jnp.max((bitpos >> 11) - (Qvl_ref[:] << 4))
 
-            def chunk_body(c, inner):
-                st, tile = inner
-                bitpos = st[0]
-                sup_gap = jnp.max((bitpos >> 11) - (Qv_ref[:] << 4))
+            @pl.when(sup_gap >= SWROWS - 2)
+            def _():
+                bc = to_col(bitpos)
+                super_refill(bc, bitpos)
+                win_refill(bc, bitpos)
 
-                @pl.when(sup_gap >= SWROWS - 2)
-                def _():
-                    super_refill(bitpos)
-                    win_refill(bitpos)
+            @pl.when(jnp.max(bitpos - (qvl_ref[:] << 11)) > REFILL_THRESH)
+            def _():
+                win_refill(to_col(bitpos), bitpos)
 
-                @pl.when(jnp.max(bitpos - (qv_ref[:] << 11))
-                         > REFILL_THRESH)
-                def _():
-                    win_refill(bitpos)
+            peek = mk_peek(winT_ref[:].astype(jnp.int32), qvl_ref[:])
 
-                peek = mk_peek(win_ref[:], qv_ref[:])
+            for k in range(CHUNK):            # static unroll: token rows
+                tok, st = step_i32(peek, st)  # are static VMEM stores
+                chunk_scratch[k:k + 1, :] = tok
 
-                def step_body(k, inner2):
-                    st, tile = inner2
-                    tok, st = step_i32(peek, st)
-                    tile = jnp.where(lanecol == c * CHUNK + k, tok, tile)
-                    return st, tile
-                st, tile = jax.lax.fori_loop(0, CHUNK, step_body, (st, tile))
-                return st, tile
-
-            st, tile = jax.lax.fori_loop(
-                0, TILE // CHUNK, chunk_body, (st, tile))
-
-            # flush the tile to HBM
-            tile_scratch[:] = tile
-            cp = pltpu.make_async_copy(tile_scratch, tok_ref.at[t], sem)
+            cp = pltpu.make_async_copy(
+                chunk_scratch, tok_ref.at[pl.ds(c * CHUNK, CHUNK)], sem)
             cp.start()
             cp.wait()
 
             _, done_i, err_i, _, _ = st
-            alldone = jnp.min(done_i | err_i)  # scalar i32: 1 iff all done
-            return t + 1, st, alldone
+            alldone = jnp.min(done_i | err_i)  # scalar: 1 iff all lanes done
+            return c + 1, st, alldone
 
-        def tile_cond(carry):
-            t, _st, alldone = carry
-            return (t < NT) & (alldone == 0)
+        def chunk_cond(carry):
+            c, _st, alldone = carry
+            return (c < NC) & (alldone == 0)
 
-        t_fin, st, _ad = jax.lax.while_loop(
-            tile_cond, tile_body, (0, st0, 0))
+        c_fin, st, _ad = jax.lax.while_loop(
+            chunk_cond, chunk_body, (0, st0, 0))
 
         bitpos, done_i, err_i, outcnt, end_bit = st
         err = (err_i != 0) | (active & (done_i == 0)) \
@@ -187,30 +209,30 @@ def _mk_kernel(NB2: int, NT: int):
         err_ref[:] = err.astype(jnp.int32)
         cnt_ref[:] = outcnt
         end_ref[:] = end_bit
-        ns_ref[0, 0] = t_fin * TILE
+        ns_ref[0, 0] = c_fin * CHUNK
 
     return kernel
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled(NB2: int, NT: int, interpret: bool = False):
+def _compiled(NB2: int, MS: int, interpret: bool = False):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     import jax.numpy as jnp
 
-    kernel = _mk_kernel(NB2, NT)
+    kernel = _mk_kernel(NB2, MS)
     R = LANES
 
-    def call(stream3, bit0, nbits, tll, td, active):
+    def call(stream3, bit0, nbits, tllT, tdT, active):
         return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((NT, R, TILE), jnp.uint32),  # tokens
-                jax.ShapeDtypeStruct((R, 128), jnp.int32),        # err
-                jax.ShapeDtypeStruct((R, 128), jnp.int32),        # outcnt
-                jax.ShapeDtypeStruct((R, 128), jnp.int32),        # end_bit
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),          # nsteps
+                jax.ShapeDtypeStruct((MS, R), jnp.uint32),    # tokens
+                jax.ShapeDtypeStruct((1, R), jnp.int32),      # err
+                jax.ShapeDtypeStruct((1, R), jnp.int32),      # outcnt
+                jax.ShapeDtypeStruct((1, R), jnp.int32),      # end_bit
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),      # nsteps
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=(
@@ -220,21 +242,19 @@ def _compiled(NB2: int, NT: int, interpret: bool = False):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((R, TILE), jnp.uint32),   # tile
-                            pltpu.VMEM((R, 128), jnp.uint32),    # window
+            scratch_shapes=[pltpu.VMEM((CHUNK, R), jnp.uint32),  # token chunk
+                            pltpu.VMEM((R, 128), jnp.uint32),    # win
+                            pltpu.VMEM((R, 128), jnp.uint32),    # winT
                             pltpu.VMEM((R, SWROWS * 64), jnp.uint32),
-                            pltpu.VMEM((R, 128), jnp.int32),     # qv
-                            pltpu.VMEM((R, 128), jnp.int32),     # Qv
+                            pltpu.VMEM((1, R), jnp.int32),       # qv lane
+                            pltpu.VMEM((R, 128), jnp.int32),     # Qv col
+                            pltpu.VMEM((1, R), jnp.int32),       # Qv lane
                             pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(stream3, bit0, nbits, tll, td, active)
+        )(stream3, bit0, nbits, tllT, tdT, active)
 
     return jax.jit(call)
-
-
-def _bcast_col(v: np.ndarray, dtype) -> np.ndarray:
-    return np.repeat(v.astype(dtype)[:, None], 128, axis=1)
 
 
 # -- compute-timing hooks (devcal / tools): capture each round's compiled
@@ -266,31 +286,35 @@ def decode_pallas(stream_words: np.ndarray, bit0: np.ndarray,
                   active: np.ndarray, max_steps: int,
                   interpret: bool = False):
     """Pallas driver entry.  Host numpy in / host numpy out, matching
-    pallas_inflate.decode_blocks."""
+    pallas_inflate.decode_blocks: returns (tokens[S, B], err[B],
+    outcnt[B], end_bit[B], nsteps).  ``tll``/``td`` are the PALLAS-spec
+    regions ([B, 384] / [B, 320], 8/7-bit roots)."""
     import jax.numpy as jnp
 
     B, NW = stream_words.shape
     assert B == LANES and NW % 128 == 0
+    assert tll.shape[1] == LL_CELLS and td.shape[1] == D_CELLS
     NB2 = NW // 128 + 1
-    NT = -(-max_steps // TILE)
+    MS = -(-max_steps // CHUNK) * CHUNK
 
     stream3 = np.zeros((B, NB2, 128), np.uint32)
     stream3[:, :NW // 128, :] = stream_words.reshape(B, NW // 128, 128)
 
-    fn = _compiled(NB2, NT, interpret)
-    args = (jnp.asarray(stream3), jnp.asarray(_bcast_col(bit0, np.int32)),
-            jnp.asarray(_bcast_col(nbits, np.int32)), jnp.asarray(tll),
-            jnp.asarray(td),
-            jnp.asarray(_bcast_col(active.astype(np.int32), np.int32)))
+    fn = _compiled(NB2, MS, interpret)
+    args = (jnp.asarray(stream3),
+            jnp.asarray(bit0.astype(np.int32).reshape(1, B)),
+            jnp.asarray(nbits.astype(np.int32).reshape(1, B)),
+            jnp.asarray(np.ascontiguousarray(tll.T)),
+            jnp.asarray(np.ascontiguousarray(td.T)),
+            jnp.asarray(active.astype(np.int32).reshape(1, B)))
     if _capture is not None:
         _capture.append((fn, args))
-    tokens3, err, outcnt, end_bit, ns = fn(*args)
+    tokens, err, outcnt, end_bit, ns = fn(*args)
 
     ns_i = int(np.asarray(ns)[0, 0])
-    nt_used = max(1, -(-ns_i // TILE)) if ns_i else 0
-    tokens3_np = np.asarray(tokens3[:nt_used]) if nt_used else \
-        np.zeros((0, B, TILE), np.uint32)
-    err_np = np.asarray(err)[:, 0] != 0
-    outcnt_np = np.asarray(outcnt)[:, 0]
-    end_np = np.asarray(end_bit)[:, 0]
-    return ("tiled", tokens3_np), err_np, outcnt_np, end_np, ns_i
+    tokens_np = np.asarray(tokens[:ns_i]) if ns_i else \
+        np.zeros((0, B), np.uint32)
+    err_np = np.asarray(err)[0] != 0
+    outcnt_np = np.asarray(outcnt)[0]
+    end_np = np.asarray(end_bit)[0]
+    return tokens_np, err_np, outcnt_np, end_np, ns_i

@@ -25,7 +25,8 @@ def _decode_one(payload: bytes, hint: int, use_pallas: bool,
     s = dd._Stream(payload, hint, 0)
     kind = dd._parse_one_header(s)
     assert kind == "huff"
-    tll, td = dd._lockstep_regions(s)
+    spec = PI.region_spec(use_pallas)
+    tll, td = dd._lockstep_regions(s, spec)
     B = PI.LANES
     byte0 = s.bits.pos >> 3
     pv = np.frombuffer(payload, np.uint8, len(payload) - byte0, byte0)
@@ -35,8 +36,8 @@ def _decode_one(payload: bytes, hint: int, use_pallas: bool,
     bit0[0] = s.bits.pos & 7
     nbits = np.zeros(B, np.int32)
     nbits[0] = len(pv) * 8
-    tlls = np.zeros((B, PI.CELLS), np.uint32)
-    tds = np.zeros((B, PI.CELLS), np.uint32)
+    tlls = np.zeros((B, spec[2]), np.uint32)
+    tds = np.zeros((B, spec[3]), np.uint32)
     tlls[0], tds[0] = tll, td
     active = np.zeros(B, bool)
     active[0] = True
@@ -76,8 +77,9 @@ def test_native_and_python_appliers_agree(corpus_factory):
 
 
 def test_pallas_driver_interpret_matches_xla(corpus_factory):
-    """The Pallas driver in interpreter mode must agree with the XLA
-    reference driver (and zlib) on a small dynamic-Huffman stream."""
+    """The lane-major Pallas driver in interpreter mode must agree with
+    the XLA reference driver (and zlib) on a small dynamic-Huffman
+    stream."""
     data = corpus_factory(600, "text")
     payload = _raw(data, 6)
     tok_p, err_p, cnt_p, end_p, ns_p = _decode_one(payload, len(data),
@@ -85,9 +87,7 @@ def test_pallas_driver_interpret_matches_xla(corpus_factory):
                                                    interpret=True,
                                                    NW=1024, max_steps=1024)
     assert not err_p[0]
-    assert isinstance(tok_p, tuple) and tok_p[0] == "tiled"
-    lane = np.ascontiguousarray(tok_p[1][:, 0, :]).reshape(-1)
-    out = dd._apply_tokens_py(lane, b"", int(cnt_p[0]))
+    out = dd._apply_tokens_py(tok_p[:, 0], b"", int(cnt_p[0]))
     assert out == data
     _, err_x, cnt_x, end_x, _ = _decode_one(payload, len(data),
                                             use_pallas=False)
