@@ -20,6 +20,47 @@ from qatzip_tpu.engine.health import health
 from qatzip_tpu.session import InternalParams
 
 
+def _stage_chunks(batch, n: int, b: int):
+    """Build the [b, n+8] device input for a batch of chunks.
+
+    Fast path (the qz_malloc zero-copy story carried to the device
+    boundary, VERDICT r4 #4): the funnel slices one contiguous request
+    buffer (engine/core.py compress_ext), so full batches are a single
+    [b, n] numpy VIEW over the original buffer — uploaded with no host
+    staging pass at all; the +8 guard bytes are padded on-device (HBM
+    bandwidth, ~free).  Ragged/copied batches fall back to one staged
+    copy.  Returns (dj [b, n+8] device array, lens int32[b] host).
+    """
+    import jax.numpy as jnp
+
+    lens = np.zeros((b,), np.int32)
+    for i, c in enumerate(batch):
+        if len(c) > n:
+            raise ValueError("chunk exceeds hw_buff_sz")
+        lens[i] = len(c)
+    if len(batch) == b and all(
+            isinstance(c, memoryview) and len(c) == n for c in batch):
+        try:
+            arrs = [np.frombuffer(c, np.uint8) for c in batch]
+            ptr0 = arrs[0].__array_interface__["data"][0]
+            if all(a.__array_interface__["data"][0] == ptr0 + i * n
+                   for i, a in enumerate(arrs)):
+                base = np.frombuffer(memoryview(batch[0].obj).cast("B"),
+                                     np.uint8)
+                off = ptr0 - base.__array_interface__["data"][0]
+                if 0 <= off and off + b * n <= base.size:
+                    view = base[off:off + b * n].reshape(b, n)
+                    dj = jnp.asarray(view)
+                    return (jnp.pad(dj, ((0, 0), (0, 8))),
+                            lens)
+        except (TypeError, ValueError, BufferError):
+            pass
+    data = np.zeros((b, n + 8), np.uint8)
+    for i, c in enumerate(batch):
+        data[i, :len(c)] = np.frombuffer(c, np.uint8)
+    return jnp.asarray(data), lens
+
+
 def _stored_block(chunk: bytes) -> bytes:
     """BFINAL=1 BTYPE=00 stored deflate block(s) for one chunk (host side)."""
     out = bytearray()
@@ -41,10 +82,11 @@ def _stored_block(chunk: bytes) -> bytes:
 class DeflateDeviceCodec:
     """Batched deflate-block compressor running on the JAX device."""
 
-    # 2x the reference's NUM_BUFF=32 in-flight requests (internal.h:65):
-    # measured 338 MB/s at B=64 vs 276 at B=32 on the target chip (sort
-    # fixed overheads amortize over the bigger batch)
-    MAX_BATCH = 64
+    # 4x the reference's NUM_BUFF=32 in-flight requests (internal.h:65):
+    # the sorts' fixed overheads keep amortizing up to B=128 — measured
+    # 0.527 GB/s at B=128 vs 0.409 at B=64 (stride-2/depth-16 L1 point,
+    # tools/probe_sort5.py round 5); B=256 is flat, so 128 is the knee
+    MAX_BATCH = 128
 
     def __init__(self):
         self._cache = {}
@@ -126,16 +168,9 @@ class DeflateDeviceCodec:
             batch = list(chunks[start:start + bsz])
             try:
                 b = 1 if len(batch) == 1 else bsz
-                data = np.zeros((b, n + 8), np.uint8)
-                lens = np.zeros((b,), np.int32)
-                for i, c in enumerate(batch):
-                    if len(c) > n:
-                        raise ValueError("chunk exceeds hw_buff_sz")
-                    data[i, :len(c)] = np.frombuffer(c, np.uint8)
-                    lens[i] = len(c)
                 import jax
                 import jax.numpy as jnp
-                dj = jnp.asarray(data)
+                dj, lens = _stage_chunks(batch, n, b)
                 lj = jnp.asarray(lens)
                 if mesh is not None and b >= ndev:
                     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -224,15 +259,8 @@ class DeflateDeviceCodec:
             batch = list(chunks[start:start + bsz])
             try:
                 b = 1 if len(batch) == 1 else bsz
-                data = np.zeros((b, n + 8), np.uint8)
-                lens = np.zeros((b,), np.int32)
-                for i, c in enumerate(batch):
-                    if len(c) > n:
-                        raise ValueError("chunk exceeds hw_buff_sz")
-                    data[i, :len(c)] = np.frombuffer(c, np.uint8)
-                    lens[i] = len(c)
-                dj = jnp.asarray(data)  # one upload for encode + checksum
-                lj = jnp.asarray(lens)
+                dj, lens = _stage_chunks(batch, n, b)
+                lj = jnp.asarray(lens)  # one upload for encode + checksum
                 words, bits, mode = de.encode_blocks(
                     dj, lj, depth, kwords, allow_dynamic, m_words,
                     mesh=mesh if b >= ndev and mesh is not None else None)
@@ -340,7 +368,7 @@ class Lz4DeviceCodec:
     assembly.  The reference maps LZ4/LZ4S onto the same HW search engine
     (src/qatzip_utils.c:264-341); here both ride the same K1 kernel."""
 
-    MAX_BATCH = 64
+    MAX_BATCH = 128
 
     def compress_chunks(self, chunks: Sequence[bytes],
                         params: InternalParams) -> list[CompressedChunk]:
@@ -361,13 +389,8 @@ class Lz4DeviceCodec:
             batch = list(chunks[start:start + self.MAX_BATCH])
             try:
                 b = 1 if len(batch) == 1 else self.MAX_BATCH
-                data = np.zeros((b, n + 8), np.uint8)
-                lens = np.zeros((b,), np.int32)
-                for i, c in enumerate(batch):
-                    if len(c) > n:
-                        raise ValueError("chunk exceeds hw_buff_sz")
-                    data[i, :len(c)] = np.frombuffer(c, np.uint8)
-                    lens[i] = len(c)
+                dj, lens = _stage_chunks(batch, n, b)
+                lj = jnp.asarray(lens)
                 import os as _os
                 faults.check("submit", "compress")
                 if _os.environ.get("QATZIP_TPU_ENCODER", "hybrid") == "hybrid":
@@ -375,11 +398,9 @@ class Lz4DeviceCodec:
                     # as deflate), native LZ4 verify/extend/emit
                     from qatzip_tpu.ops import match_finder as mf
 
-                    rec = ("cand", mf.find_candidates(
-                        jnp.asarray(data), jnp.asarray(lens), depth))
+                    rec = ("cand", mf.find_candidates(dj, lj, depth))
                 else:
-                    rec = ("rec", _lz4_analyze(
-                        jnp.asarray(data), jnp.asarray(lens), depth, kwords))
+                    rec = ("rec", _lz4_analyze(dj, lj, depth, kwords))
                 pending.append((batch, rec))
             except Exception:
                 health.record_failure()

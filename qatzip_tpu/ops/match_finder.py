@@ -48,7 +48,8 @@ def _on_tpu() -> bool:
 def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
                     depth: int = DEPTH,
                     use_pallas: bool | None = None,
-                    stride: int | None = None) -> jnp.ndarray:
+                    stride: int | None = None,
+                    rank8: bool | None = None) -> jnp.ndarray:
     """data: uint8[B, n+8] zero-padded, n <= 65536 pow2; lengths: int32[B].
 
     Returns uint16[B, n]: per-position candidate distance (0 = none).
@@ -65,15 +66,24 @@ def find_candidates(data: jnp.ndarray, lengths: jnp.ndarray,
         import os
 
         stride = int(os.environ.get("QATZIP_TPU_MF_STRIDE", "1"))
+    if rank8 is None:
+        import os
+
+        # rank8: carry the second prefix word (bytes 4..7) through the
+        # sort so candidates rank by verified 8-byte prefix.  Dropping it
+        # removes one payload operand from sort1 (~15% of device compute)
+        # at a small ratio cost — only sound where the parser's two-sided
+        # neighbour probes recover coverage (stride >= 2).
+        rank8 = os.environ.get("QATZIP_TPU_MF_RANK8", "1") != "0"
     return _find_candidates_impl(data, lengths, depth, bool(use_pallas),
-                                 int(stride))
+                                 int(stride), bool(rank8))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("depth", "use_pallas", "stride"))
+                   static_argnames=("depth", "use_pallas", "stride", "rank8"))
 def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
                           depth: int, use_pallas: bool,
-                          stride: int = 1) -> jnp.ndarray:
+                          stride: int = 1, rank8: bool = True) -> jnp.ndarray:
     _INVALID = _U32(_INVALID_V)
     B = data.shape[0]
     n = data.shape[1] - 8
@@ -87,25 +97,32 @@ def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
     # second prefix word (bytes 4..7) rides the sort too, so candidates
     # rank by verified 8-byte prefix — greedy-nearest alone picks short
     # matches on repetitive text and loses to zlib's best-of-chain walk
-    b4b = jnp.concatenate([b4[:, 4:], jnp.zeros((B, 4), _U32)], axis=-1)
+    # (skipped when rank8=False: one payload operand less in sort1)
+    b4b = (jnp.concatenate([b4[:, 4:], jnp.zeros((B, 4), _U32)], axis=-1)
+           if rank8 else None)
 
     h = (b3 * _U32(2654435761)) >> _U32(17)          # 15-bit 3-gram hash
     valid = pos + 2 < L
     key1 = jnp.where(valid, (h << _U32(16)) | pos.astype(_U32), _INVALID)
+    n_full = n
     if stride > 1:
         # QATZIP_TPU_MF_STRIDE: index only every stride-th position — the
         # sorts (the whole cost) shrink by the same factor; the native
         # parser's byte-compare extension recovers most of the lost
         # coverage (zlib's own fast levels insert sparsely the same way)
-        key1 = key1[:, ::stride]
-        b4s_s = b4[:, ::stride]
-        b4bs_s = b4b[:, ::stride]
-        sk, sb4, sb4b = jax.lax.sort((key1, b4s_s, b4bs_s), num_keys=1,
-                                     is_stable=True)
         n = n // stride
+        lim = n * stride   # trim the ragged tail when stride doesn't divide
+        ops = ((key1[:, :lim:stride], b4[:, :lim:stride],
+                b4b[:, :lim:stride]) if rank8
+               else (key1[:, :lim:stride], b4[:, :lim:stride]))
     else:
-        sk, sb4, sb4b = jax.lax.sort((key1, b4, b4b), num_keys=1,
-                                     is_stable=True)
+        ops = (key1, b4, b4b) if rank8 else (key1, b4)
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    if rank8:
+        sk, sb4, sb4b = sorted_ops
+    else:
+        sk, sb4 = sorted_ops
+        sb4b = jnp.zeros_like(sb4)  # eq8 degenerates to eq4: rank-4 only
 
     cur_pos = (sk & _U32(0xFFFF)).astype(jnp.int32)
     cur_ok = sk != _INVALID
@@ -155,6 +172,10 @@ def _find_candidates_impl(data: jnp.ndarray, lengths: jnp.ndarray,
         # scatter form costs ~10 ns/elem on this target, PERF.md checklist)
         parts = [dist_pos] + [jnp.zeros_like(dist_pos)] * (stride - 1)
         full = jnp.stack(parts, axis=-1).reshape(B, -1)
+        if full.shape[1] < n_full:   # ragged tail: no candidates there
+            full = jnp.concatenate(
+                [full, jnp.zeros((B, n_full - full.shape[1]), full.dtype)],
+                axis=-1)
         return full.astype(jnp.uint16)
     return dist_pos.astype(jnp.uint16)
 

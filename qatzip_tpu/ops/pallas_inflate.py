@@ -54,16 +54,21 @@ CELLS = 512          # u32 cells per XLA-driver region (root 256 + sub 256)
 ROOT_BITS = 9        # XLA-driver root bits
 SUB_ENTRIES = 512    # sub-area entries (256 cells) in every region layout
 
-# Pallas (lane-major) driver region layout: smaller roots make the
-# one-hot root fetch cheap (row count = vreg count = VPU ops); measured
-# on real zlib tables (L1/6/9, three corpora) the worst-case sub demand
-# is 278 entries for an 8-bit litlen root and 22 for a 7-bit dist root —
-# both far under the 512-entry sub area, so overflow (-> CPU fallback)
-# only happens on adversarial-but-legal tables.
+# Pallas (lane-major) driver region layout: the one-hot fetch cost is
+# proportional to the area's ROW count, so both roots and sub areas
+# shrink to measured demand.  On real zlib tables (L1/6/9, three
+# corpora) the worst-case sub demand is 278 entries for an 8-bit litlen
+# root and 22 for a 7-bit dist root; the 384/64-entry sub areas leave
+# headroom, and overflow on adversarial-but-legal tables falls back to
+# the CPU path per block.
 PALLAS_LL_ROOT_BITS = 8
 PALLAS_D_ROOT_BITS = 7
-PALLAS_LL_CELLS = (1 << PALLAS_LL_ROOT_BITS) // 2 + SUB_ENTRIES // 2  # 384
-PALLAS_D_CELLS = (1 << PALLAS_D_ROOT_BITS) // 2 + SUB_ENTRIES // 2   # 320
+PALLAS_LL_SUB_ENTRIES = 384
+PALLAS_D_SUB_ENTRIES = 64
+PALLAS_LL_CELLS = ((1 << PALLAS_LL_ROOT_BITS) // 2
+                   + PALLAS_LL_SUB_ENTRIES // 2)   # 320
+PALLAS_D_CELLS = ((1 << PALLAS_D_ROOT_BITS) // 2
+                  + PALLAS_D_SUB_ENTRIES // 2)     # 96
 
 
 def pallas_active() -> bool:
@@ -106,8 +111,8 @@ def _pack_cells(u16: np.ndarray) -> np.ndarray:
 
 
 def _build_twolevel(lens: np.ndarray, entry16: np.ndarray,
-                    valid: np.ndarray, root_bits: int = ROOT_BITS
-                    ) -> np.ndarray:
+                    valid: np.ndarray, root_bits: int = ROOT_BITS,
+                    sub_entries: int = SUB_ENTRIES) -> np.ndarray:
     """Build the packed region from per-symbol code lengths and u16 entries
     (clen/kind/payload already packed; clen filled in here).  ``valid``
     marks symbols legal in a stream — invalid ones (286/287, dist 30/31)
@@ -123,7 +128,7 @@ def _build_twolevel(lens: np.ndarray, entry16: np.ndarray,
     entries = np.where((lens > 0) & valid, entry16 | lens.astype(np.uint16),
                        0).astype(np.uint16)
     root = np.zeros(1 << root_bits, np.uint16)
-    sub = np.zeros(SUB_ENTRIES, np.uint16)
+    sub = np.zeros(sub_entries, np.uint16)
     for l in range(1, root_bits + 1):
         syms = np.nonzero(lens == l)[0]
         if syms.size == 0:
@@ -143,7 +148,7 @@ def _build_twolevel(lens: np.ndarray, entry16: np.ndarray,
             rcs = rcf[sel]
             subbits = int(lens[syms].max()) - root_bits
             size = 1 << subbits
-            if next_free + size > SUB_ENTRIES:
+            if next_free + size > sub_entries:
                 raise ValueError("subtable overflow")
             if root[slot] != 0:
                 raise ValueError("root/sub collision")  # over-subscription
@@ -174,7 +179,9 @@ def build_ll_region(lens: np.ndarray,
     hi = min(nsym, 286)
     for s in range(257, hi):
         e[s] = (1 << 4) | ((s - 257) << 6)
-    return _build_twolevel(lens, e, sym < 286, root_bits)
+    sub = (PALLAS_LL_SUB_ENTRIES if root_bits == PALLAS_LL_ROOT_BITS
+           else SUB_ENTRIES)
+    return _build_twolevel(lens, e, sym < 286, root_bits, sub)
 
 
 def build_d_region(lens: np.ndarray,
@@ -184,7 +191,9 @@ def build_d_region(lens: np.ndarray,
     e = np.zeros(nsym, np.uint16)
     hi = min(nsym, 30)
     e[:hi] = (np.arange(hi, dtype=np.uint16)) << 6
-    return _build_twolevel(lens, e, np.arange(nsym) < 30, root_bits)
+    sub = (PALLAS_D_SUB_ENTRIES if root_bits == PALLAS_D_ROOT_BITS
+           else SUB_ENTRIES)
+    return _build_twolevel(lens, e, np.arange(nsym) < 30, root_bits, sub)
 
 
 @functools.lru_cache(maxsize=4)
