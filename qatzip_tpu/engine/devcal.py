@@ -60,6 +60,34 @@ def invalidate() -> None:
     _cache = None
 
 
+_autocal_started = False
+
+
+def _maybe_autocalibrate() -> None:
+    """Cold-start fix (round 5): with no calibration record the device is
+    never used, so a fresh PCIe-attached install silently runs CPU-only
+    until someone runs calibrate().  With QATZIP_TPU_AUTOCAL=1 the first
+    no-record routing decision spawns ONE background calibration (small
+    sample, daemon thread — requests keep routing to the CPU until the
+    record lands, so the request path never blocks on kernel compiles).
+    Off by default: calibration compiles kernels, which surprises
+    short-lived processes."""
+    global _autocal_started
+    if _autocal_started or os.environ.get("QATZIP_TPU_AUTOCAL", "") != "1":
+        return
+    _autocal_started = True
+
+    def run():
+        try:
+            calibrate(sample_bytes=2 << 20, save=True)
+        except Exception:
+            pass
+
+    import threading
+
+    threading.Thread(target=run, name="qz-autocal", daemon=True).start()
+
+
 def device_allowed(direction) -> bool:
     """Is the device path allowed for this direction under current policy?"""
     force = os.environ.get(_FORCE_ENV, "").lower()
@@ -69,6 +97,7 @@ def device_allowed(direction) -> bool:
         return False
     cal = _load()
     if not cal:
+        _maybe_autocalibrate()
         return False
     from qatzip_tpu.constants import QzDirection
 

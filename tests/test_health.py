@@ -351,3 +351,52 @@ def test_fault_trip_then_sticky_sw_then_revival(monkeypatch, corpus_factory):
     finally:
         faults.clear()
         health.record_success()
+
+
+def test_devcal_autocalibrate_cold_start(monkeypatch, tmp_path):
+    """With QATZIP_TPU_AUTOCAL=1 and no record, the first routing decision
+    spawns one background calibration; routing stays CPU until the record
+    lands, then flips to the measured winners (round-5 cold-start fix)."""
+    import time as _time
+
+    from qatzip_tpu.constants import QzDirection
+    from qatzip_tpu.engine import devcal
+
+    monkeypatch.setenv("QATZIP_TPU_DEVCAL_PATH", str(tmp_path / "cal.json"))
+    monkeypatch.delenv("QATZIP_TPU_DEVICE", raising=False)
+    monkeypatch.setenv("QATZIP_TPU_AUTOCAL", "1")
+    monkeypatch.setattr(devcal, "_autocal_started", False)
+    devcal.invalidate()
+
+    calls = []
+
+    def fake_calibrate(sample_bytes=0, save=True):
+        calls.append(sample_bytes)
+        import json
+
+        with open(str(tmp_path / "cal.json"), "w") as f:
+            json.dump({"comp_device_wins": True,
+                       "decomp_device_wins": False}, f)
+        devcal.invalidate()
+
+    monkeypatch.setattr(devcal, "calibrate", fake_calibrate)
+    # first decision: no record -> CPU, autocal spawned
+    assert not devcal.device_allowed(QzDirection.QZ_DIR_COMPRESS)
+    deadline = _time.monotonic() + 5
+    while not calls and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert calls, "autocal thread never ran"
+    while _time.monotonic() < deadline:
+        if devcal.device_allowed(QzDirection.QZ_DIR_COMPRESS):
+            break
+        _time.sleep(0.01)
+    assert devcal.device_allowed(QzDirection.QZ_DIR_COMPRESS)
+    assert not devcal.device_allowed(QzDirection.QZ_DIR_DECOMPRESS)
+    # exactly one attempt even across many decisions
+    devcal.invalidate()
+    import os as _os
+
+    _os.remove(str(tmp_path / "cal.json"))
+    devcal.invalidate()
+    assert not devcal.device_allowed(QzDirection.QZ_DIR_COMPRESS)
+    assert len(calls) == 1

@@ -21,7 +21,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_roundtrip():
+def _run_two_process(extra_args=(), expect=("DIST OK",), force_sw="1"):
     port = _free_port()
     procs = []
     for rank in range(2):
@@ -31,12 +31,12 @@ def test_two_process_distributed_roundtrip():
             "QATZIP_TPU_COORDINATOR": f"127.0.0.1:{port}",
             "QATZIP_TPU_NUM_PROCESSES": "2",
             "QATZIP_TPU_PROCESS_ID": str(rank),
-            "QATZIP_TPU_FORCE_SW": "1",
+            "QATZIP_TPU_FORCE_SW": force_sw,
         })
         env.pop("XLA_FLAGS", None)  # no virtual-device split inside workers
         env.pop("PYTHONPATH", None)  # PYTHONPATH breaks plugin discovery
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER], env=env,
+            [sys.executable, WORKER, *extra_args], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
@@ -49,4 +49,30 @@ def test_two_process_distributed_roundtrip():
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert "DIST OK" in out
+        for marker in expect:
+            assert marker in out, f"rank {rank}: missing {marker}\n{out[-2000:]}"
+
+
+def test_two_process_distributed_roundtrip():
+    _run_two_process()
+
+
+def test_two_process_distributed_lz4_frame():
+    """LZ4-frame streams through the 2-process dist engine: deterministic
+    member framing + decompress-distributed member scatter."""
+    _run_two_process(extra_args=("--lz4",), expect=("DIST OK", "DIST LZ4 OK"))
+
+
+def test_two_process_async_ring_coexists_with_collectives():
+    """Per-rank async consumer threads + jax.distributed collectives in the
+    same process (reference async mode, src/qatzip.c:3854-4196, under the
+    multi-process deployment of run_perf_test.sh)."""
+    _run_two_process(extra_args=("--async",),
+                     expect=("DIST OK", "DIST ASYNC OK"))
+
+
+def test_two_process_device_kernel_path():
+    """The hybrid device compress kernels dispatch under jax.distributed
+    (XLA CPU backend stands in for the chip, same code path)."""
+    _run_two_process(extra_args=("--device",),
+                     expect=("DIST OK", "DIST DEVICE OK"), force_sw="0")

@@ -52,6 +52,54 @@ def main():
     print(f"DIST OK rank={pid}/{nproc} bytes={len(data)} comp={len(comp)}",
           flush=True)
 
+    if "--lz4" in sys.argv:
+        # LZ4-frame distributed round-trip + decompress-distributed with
+        # member scatter across ranks
+        lcomp = dist_engine.compress_distributed(
+            data, algorithm="lz4", hw_buff_sz=4096, sw_only=True)
+        ref = qz.compress(data, "lz4", hw_buff_sz=4096, sw_only=True)
+        assert lcomp == ref, "distributed lz4 stream differs"
+        lout = dist_engine.decompress_distributed(
+            lcomp, algorithm="lz4", hw_buff_sz=4096, sw_only=True)
+        assert lout == data, "distributed lz4 decompress mismatch"
+        print(f"DIST LZ4 OK rank={pid}", flush=True)
+
+    if "--async" in sys.argv:
+        # async ring on each rank + distributed assembly of the results:
+        # the per-rank async consumer and the jax.distributed collectives
+        # must coexist (ring + allgather)
+        from qatzip_tpu import async_api
+
+        sess = qz.QzSession()
+        assert qz.qz_setup_session_deflate(sess) == qz.QZ_OK
+        futs = []
+        for i in range(6):
+            rc, fut = async_api.qz_compress2(sess, data[i::7])
+            assert rc == qz.QZ_OK
+            futs.append((i, fut))
+        for i, fut in futs:
+            r = fut.result(timeout=60)
+            assert r.rc == qz.QZ_OK
+            assert qz.decompress(r.data, "deflate") == data[i::7]
+        # one distributed op after the async traffic proves coexistence
+        out2 = dist_engine.decompress_distributed(
+            comp, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, hw_buff_sz=4096,
+            sw_only=True)
+        assert out2 == data
+        print(f"DIST ASYNC OK rank={pid}", flush=True)
+
+    if "--device" in sys.argv:
+        # run the XLA device kernels (CPU backend here) under
+        # jax.distributed: the hybrid compress path end-to-end, forced on
+        os.environ["QATZIP_TPU_DEVICE"] = "1"
+        dcomp2 = dist_engine.compress_distributed(
+            data, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT, hw_buff_sz=16384)
+        assert gzip.decompress(dcomp2) == data, "device-path gzip mismatch"
+        from qatzip_tpu.engine.core import _engine as _eng
+
+        assert _eng.hw_requests > 0, "device path not exercised"
+        print(f"DIST DEVICE OK rank={pid} hw={_eng.hw_requests}", flush=True)
+
     if "--perf" in sys.argv:
         # per-process throughput loop (run_perf_test.sh column-8 analog):
         # each rank compresses its share repeatedly; the harness sums Bps
