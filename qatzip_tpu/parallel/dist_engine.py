@@ -108,7 +108,12 @@ def _allgather_concat(payload: bytes) -> bytes:
     ln = np.array([len(payload)], np.int64)
     all_len = np.asarray(mh.process_allgather(ln)).reshape(-1)
     pad = int(all_len.max()) if all_len.size else 0
-    buf = np.zeros((max(pad, 1),), np.uint8)
+    # pad to a power-of-2 bucket (min 64KB): process_allgather compiles one
+    # collective per SHAPE, so exact-max padding recompiled on every call —
+    # bucketing makes shapes repeat and the compiled collective cache hit
+    # (measured 29% -> single-digit dist-engine overhead at 15MB)
+    pad = 1 << max(16, (max(pad, 1) - 1).bit_length())
+    buf = np.zeros((pad,), np.uint8)
     if payload:
         buf[: len(payload)] = np.frombuffer(payload, np.uint8)
     gathered = np.asarray(mh.process_allgather(buf))

@@ -100,6 +100,45 @@ def main():
         assert _eng.hw_requests > 0, "device path not exercised"
         print(f"DIST DEVICE OK rank={pid} hw={_eng.hw_requests}", flush=True)
 
+    if "--overhead" in sys.argv:
+        # isolate the dist-engine's own cost (scatter bookkeeping +
+        # allgather + assembly) from the local compress at fixed compute:
+        # overhead_frac = (T_total - T_local_compress) / T_total per rank
+        import time as _t
+
+        import qatzip_tpu as qzpkg
+
+        big = data * 64          # ~15MB: the production-size regime where
+        t_local = []             # per-rank compute dominates the allgather
+        real_compress = qzpkg.compress
+
+        def timed_compress(*a, **k):
+            t0 = _t.perf_counter()
+            r = real_compress(*a, **k)
+            t_local.append(_t.perf_counter() - t0)
+            return r
+
+        qzpkg.compress = timed_compress
+        try:
+            dist_engine.compress_distributed(
+                big, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                hw_buff_sz=65536, sw_only=True)  # warm
+            t_local.clear()
+            reps = 5
+            t0 = _t.perf_counter()
+            for _ in range(reps):
+                dist_engine.compress_distributed(
+                    big, fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT,
+                    hw_buff_sz=65536, sw_only=True)
+            total = (_t.perf_counter() - t0) / reps
+        finally:
+            qzpkg.compress = real_compress
+        local = sum(t_local) / reps
+        print(f"DIST OVERHEAD rank={pid} total_s={total:.5f} "
+              f"local_s={local:.5f} "
+              f"overhead_frac={max(total - local, 0.0) / total:.4f}",
+              flush=True)
+
     if "--perf" in sys.argv:
         # per-process throughput loop (run_perf_test.sh column-8 analog):
         # each rank compresses its share repeatedly; the harness sums Bps
