@@ -203,7 +203,7 @@ def dist_overhead_row():
         locals_.append(float(m.group(2)))
         fracs.append(float(m.group(3)))
     return {"processes": 2,
-            "workload_bytes": 64 * 246065,   # dist_worker --overhead corpus
+            "workload_bytes": 12772800,       # dist_worker --overhead corpus (x64)
             "per_rank_total_s": totals,
             "per_rank_local_compress_s": locals_,
             "per_rank_overhead_frac": fracs,
