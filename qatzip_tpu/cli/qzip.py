@@ -126,9 +126,60 @@ def _detect_args_from_suffix(path, args):
         args.output_fmt = "zlib"
 
 
+def _process_special(path, args):
+    """Block/character devices and FIFOs (reference utils/qzip.c:566-658
+    compresses block devices): stream the device through the bounded-memory
+    stream API into an explicit -o target (no suffix naming or source
+    removal for device nodes)."""
+    import qatzip_tpu as qz
+    from qatzip_tpu.stream import (QzStream, qz_compress_stream,
+                                   qz_decompress_stream, qz_end_stream)
+
+    if not args.output:
+        print(f"qzip: {path}: device input requires -o <output>",
+              file=sys.stderr)
+        sys.exit(1)
+    sess = _session(args)
+    strm = QzStream()
+    fn = qz_decompress_stream if args.decompress else qz_compress_stream
+    in_sz = out_sz = 0
+    t0 = time.time()
+    with open(path, "rb") as src, open(args.output, "wb") as dst:
+        while True:
+            piece = src.read(args.chunk_sz)
+            last = 0 if piece else 1
+            in_sz += len(piece)
+            rc, out = fn(sess, strm, piece, last=last)
+            if rc != C.QZ_OK:
+                print(f"qzip: stream error rc={rc}", file=sys.stderr)
+                sys.exit(1)
+            dst.write(out)
+            out_sz += len(out)
+            if last:
+                break
+        _rc, tail = qz_end_stream(sess, strm)
+        dst.write(tail)
+        out_sz += len(tail)
+    _display_stats("decompress" if args.decompress else "compress",
+                   in_sz, out_sz, time.time() - t0)
+
+
+def _is_special(path) -> bool:
+    import stat as _stat
+
+    try:
+        mode = os.stat(path).st_mode
+    except OSError:
+        return False
+    return (_stat.S_ISBLK(mode) or _stat.S_ISCHR(mode)
+            or _stat.S_ISFIFO(mode))
+
+
 def _process_file(path, args):
     import qatzip_tpu as qz
 
+    if _is_special(path):
+        return _process_special(path, args)
     if args.decompress:
         _detect_args_from_suffix(path, args)
     if args.output_fmt == "7z" and not args.decompress:
