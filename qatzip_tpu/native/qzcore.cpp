@@ -606,6 +606,10 @@ static inline int64_t apply_one_token(uint32_t t, uint8_t* dst, int64_t pos,
     if (t & 1u) {
         if (pos >= cap) return -2;
         dst[pos++] = (uint8_t)((t >> 1) & 0xFF);
+        if (t & 0x200u) {  // paired second literal (decoder bit 9 + 10..17)
+            if (pos >= cap) return -2;
+            dst[pos++] = (uint8_t)((t >> 10) & 0xFF);
+        }
         return pos;
     }
     if (!(t & 2u)) return -3;

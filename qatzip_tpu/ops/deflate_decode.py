@@ -608,6 +608,10 @@ def _apply_tokens_py(lane_tokens: np.ndarray, window: bytes,
             if len(out) >= cap:
                 raise ValueError("token overflow")
             out.append((t >> 1) & 0xFF)
+            if t & 0x200:  # paired second literal (bits 10..17)
+                if len(out) >= cap:
+                    raise ValueError("token overflow")
+                out.append((t >> 10) & 0xFF)
             continue
         if not t & 2:
             raise ValueError("bad token")
