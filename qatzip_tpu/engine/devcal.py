@@ -60,7 +60,10 @@ def invalidate() -> None:
     _cache = None
 
 
+import threading as _threading
+
 _autocal_started = False
+_autocal_lock = _threading.Lock()
 
 
 def _maybe_autocalibrate() -> None:
@@ -75,7 +78,10 @@ def _maybe_autocalibrate() -> None:
     global _autocal_started
     if _autocal_started or os.environ.get("QATZIP_TPU_AUTOCAL", "") != "1":
         return
-    _autocal_started = True
+    with _autocal_lock:
+        if _autocal_started:   # two first-requests racing: one calibration
+            return
+        _autocal_started = True
 
     def run():
         try:

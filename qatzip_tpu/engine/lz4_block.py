@@ -107,11 +107,13 @@ def lz4_block_decompress(block: bytes, max_out: int,
 
     ``prefix`` is preceding-frame history for linked-block frames
     (FLG block-indep=0): match offsets may reach up to 64KB back into
-    it.  The returned bytes are this block's output only."""
+    it.  The returned bytes are this block's output only; the prefix is
+    read in place (no copies — blocks from independent encoders, like
+    this library's own, never reference it)."""
     src = bytes(block)
     n = len(src)
     plen = len(prefix)
-    out = bytearray(prefix)
+    out = bytearray()
     ip = 0
     while ip < n:
         token = src[ip]
@@ -150,13 +152,14 @@ def lz4_block_decompress(block: bytes, max_out: int,
                     break
         mlen += MINMATCH
         start = len(out) - offset
-        if start < 0:
+        if start < -plen:
             raise ValueError("offset beyond output start")
         for k in range(mlen):  # byte-by-byte: overlapping copies are legal
-            out.append(out[start + k])
-        if len(out) - plen > max_out:
+            p = start + k
+            out.append(out[p] if p >= 0 else prefix[plen + p])
+        if len(out) > max_out:
             raise ValueError("output exceeds max_out")
-    return bytes(out[plen:])
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

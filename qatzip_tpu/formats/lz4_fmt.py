@@ -7,7 +7,9 @@ src/qatzip_lz4.c:62-231):
                       (u64 LE, always present), header checksum byte
   FLG: version=01, block-indep=0, block-cksum=0, content-size=1,
        content-cksum=1, dict-id=0  -> 0x4C
-  BD:  max block size code 4 (64KB) -> 0x40
+  BD:  smallest max-block-size code covering the frame's largest block
+       (code 4 = 64KB -> 0x40 for default sessions, matching the
+       reference byte-for-byte; 5/6/7 for hw_buff_sz up to 4MB)
   block header (4B):  u32 LE block size; bit31 set => stored (uncompressed)
   frame footer (8B):  endmark 0x00000000 (u32) + XXH32 content checksum (u32)
 """
@@ -32,7 +34,7 @@ LZ4_STOREDBLOCK_FLAG = 0x80000000
 LZ4_MAX_BLK_SIZE_CODE = 0x4  # 64KB
 
 _FLG = ((LZ4_VERSION & 0x3) << 6) | (0 << 5) | (0 << 4) | (1 << 3) | (1 << 2) | 0
-_BD = (LZ4_MAX_BLK_SIZE_CODE & 0x7) << 4
+# BD is derived per frame from the largest block it carries (_bd_for)
 
 
 class LZ4FrameHeader(NamedTuple):
@@ -41,9 +43,27 @@ class LZ4FrameHeader(NamedTuple):
     bd: int
 
 
-def gen_lz4_frame_header(content_size: int) -> bytes:
-    """qzLZ4HeaderGen (reference src/qatzip_lz4.c:104-133)."""
-    body = struct.pack("<BBQ", _FLG, _BD, content_size)
+def _bd_for(max_block: int) -> int:
+    """BD byte with the smallest max-block-size code covering ``max_block``
+    (codes 4..7 = 64KB/256KB/1MB/4MB).  The reference hardcodes code 4
+    because its LZ4 frames always carry <=64KB blocks; sessions here allow
+    hw_buff_sz beyond 64KB, and a frame whose blocks exceed the declared
+    BD limit is rejected by conforming decoders (incl. our own streaming
+    walker)."""
+    for code, size in ((4, 64 << 10), (5, 256 << 10), (6, 1 << 20),
+                       (7, 4 << 20)):
+        if max_block <= size:
+            return (code & 0x7) << 4
+    return (7 & 0x7) << 4
+
+
+def gen_lz4_frame_header(content_size: int,
+                         max_block: int | None = None) -> bytes:
+    """qzLZ4HeaderGen (reference src/qatzip_lz4.c:104-133).  ``max_block``
+    is the largest block the frame will carry (defaults to content_size:
+    single-chunk frames emit one block of the whole chunk)."""
+    bd = _bd_for(content_size if max_block is None else max_block)
+    body = struct.pack("<BBQ", _FLG, bd, content_size)
     hc = (_ck.xxh32(body, 0) >> 8) & 0xFF
     return struct.pack("<I", LZ4_MAGIC) + body + bytes([hc])
 

@@ -663,21 +663,5 @@ int64_t qz_apply_tokens(const uint32_t* toks, int64_t nsteps, int64_t stride,
 // Tiled layout from the Pallas driver: tokens u32[NT, B, TILE]; one lane's
 // tokens are contiguous within each tile row.  toks points at tile 0 of the
 // lane (base + lane*TILE); tile_stride = B*TILE.
-int64_t qz_apply_tokens_tiled(const uint32_t* toks, int64_t ntiles,
-                              int64_t tile, int64_t tile_stride,
-                              const uint8_t* window, int64_t wlen,
-                              uint8_t* dst, int64_t cap) {
-    int64_t pos = 0;
-    for (int64_t ti = 0; ti < ntiles; ti++) {
-        const uint32_t* row = toks + ti * tile_stride;
-        for (int64_t s = 0; s < tile; s++) {
-            uint32_t t = row[s];
-            if (t == 0) continue;
-            pos = apply_one_token(t, dst, pos, cap, window, wlen);
-            if (pos < 0) return pos;
-        }
-    }
-    return pos;
-}
 
 }  // extern "C"

@@ -87,11 +87,6 @@ _lib.qz_apply_tokens.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.c_int64, ctypes.c_void_p,
                                  ctypes.c_int64, ctypes.c_void_p,
                                  ctypes.c_int64]
-_lib.qz_apply_tokens_tiled.restype = ctypes.c_int64
-_lib.qz_apply_tokens_tiled.argtypes = [ctypes.c_void_p, ctypes.c_int64,
-                                       ctypes.c_int64, ctypes.c_int64,
-                                       ctypes.c_void_p, ctypes.c_int64,
-                                       ctypes.c_void_p, ctypes.c_int64]
 _lib.qz_huff_build_batch.restype = ctypes.c_int
 _lib.qz_huff_build_batch.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -446,25 +441,6 @@ def apply_tokens(tokens_np, lane: int, window, wlen: int,
     base = tokens_np.ctypes.data + 4 * lane
     n = _lib.qz_apply_tokens(ctypes.c_void_p(base), nsteps, nlanes,
                              wp, wlen, buf.ctypes.data_as(ctypes.c_void_p), cap)
-    if n < 0:
-        raise ValueError(f"token apply failed ({n})")
-    return buf[:n].tobytes()
-
-
-def apply_tokens_tiled(tokens3_np, lane: int, window, wlen: int,
-                       cap: int) -> bytes:
-    """Apply one lane's tokens from the Pallas driver's tiled layout
-    (u32 C-contiguous [NT, B, TILE]); the lane's tokens are contiguous
-    within each tile row."""
-    import numpy as np
-
-    assert tokens3_np.dtype == np.uint32 and tokens3_np.flags.c_contiguous
-    nt, b, tile = tokens3_np.shape
-    buf = _arena(cap)
-    wp, wn, wkeep = _addr(window) if wlen else (ctypes.c_void_p(0), 0, None)
-    base = tokens3_np.ctypes.data + 4 * lane * tile
-    n = _lib.qz_apply_tokens_tiled(ctypes.c_void_p(base), nt, tile,
-                                   b * tile, wp, wlen, buf.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise ValueError(f"token apply failed ({n})")
     return buf[:n].tobytes()

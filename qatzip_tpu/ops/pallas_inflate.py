@@ -400,10 +400,9 @@ def decode_blocks(stream_words: np.ndarray, bit0: np.ndarray,
     import jax.numpy as jnp
 
     if use_pallas is None:
-        try:
-            use_pallas = jax.devices()[0].platform == "tpu"
-        except Exception:
-            use_pallas = False
+        # same predicate the region-building callers use (region_spec):
+        # the two must agree or tables and driver mismatch
+        use_pallas = pallas_active()
     if use_pallas:
         from qatzip_tpu.ops import pallas_inflate_kernel as K
 

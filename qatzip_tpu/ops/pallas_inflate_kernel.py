@@ -25,9 +25,9 @@ Layouts:
   win     u32[128, 128]       — block = sublane; rebuilt per refill
   winT    u32[128, 128]       — transpose of win: word = sublane,
                                 block = LANE — what the step reads
-  tllT    u32[384, 128]       — litlen region, cell = sublane, block =
-                                lane (128 root cells + 256 sub cells)
-  tdT     u32[320, 128]       — dist region (64 root + 256 sub cells)
+  tllT    u32[320, 128]       — litlen region, cell = sublane, block =
+                                lane (128 root cells + 192 sub cells)
+  tdT     u32[96, 128]        — dist region (64 root + 32 sub cells)
   tokens  u32[MS, 128]        — token(step s, block b) = [s, b]; chunks of
                                 CHUNK rows DMA'd to HBM as they fill
 
@@ -46,8 +46,8 @@ CHUNK = 32            # steps per refill-check + token DMA (32*48 bits < 2048)
 REFILL_THRESH = 2048  # refill when any lane's window-relative bits exceed
 SWROWS = 18           # superwindow rows of 64 words
 
-LL_CELLS = PI.PALLAS_LL_CELLS   # 384
-D_CELLS = PI.PALLAS_D_CELLS     # 320
+LL_CELLS = PI.PALLAS_LL_CELLS   # 320 (128 root + 192 sub)
+D_CELLS = PI.PALLAS_D_CELLS     # 96 (64 root + 32 sub)
 LL_ROOT_CELLS = (1 << PI.PALLAS_LL_ROOT_BITS) // 2   # 128
 D_ROOT_CELLS = (1 << PI.PALLAS_D_ROOT_BITS) // 2     # 64
 
@@ -288,7 +288,7 @@ def decode_pallas(stream_words: np.ndarray, bit0: np.ndarray,
     """Pallas driver entry.  Host numpy in / host numpy out, matching
     pallas_inflate.decode_blocks: returns (tokens[S, B], err[B],
     outcnt[B], end_bit[B], nsteps).  ``tll``/``td`` are the PALLAS-spec
-    regions ([B, 384] / [B, 320], 8/7-bit roots)."""
+    regions ([B, 320] / [B, 96], 8/7-bit roots)."""
     import jax.numpy as jnp
 
     B, NW = stream_words.shape

@@ -209,8 +209,9 @@ def test_decompress_stream_lz4_piecemeal_linear(corpus_factory):
             last=1 if i + piece >= len(comp) else 0)
         assert rc == qz.QZ_OK
         out += produced
-        # bounded carry: at most one block (+header slack) accumulates
-        assert len(strm.comp_in) < 65536 + 64
+        # bounded carry: at most one block (a full-size stored block is
+        # 65536 B) + its 4-byte header + up to piece-1 unconsumed bytes
+        assert len(strm.comp_in) < 65536 + 4 + piece
     assert bytes(out) == data
     assert strm.crc_32 == ck.xxh32(data, 0)
     assert dsess.end_of_last_block
@@ -341,3 +342,33 @@ def test_decompress_stream_4b_piecemeal_linear(corpus_factory):
     import zlib
 
     assert strm.crc_32 == zlib.crc32(data)
+
+
+def test_decompress_stream_lz4_large_hw_buff_sz(corpus_factory):
+    """Frames with hw_buff_sz > 64KB declare the matching BD block-size
+    code, so the streaming walker (and any conforming foreign decoder)
+    accepts the large blocks (round-5 review fix: BD was hardcoded to
+    64KB while blocks went up to 512KB)."""
+    import qatzip_tpu as qz
+    from qatzip_tpu import stream as S
+
+    data = corpus_factory(500_000)
+    for hbs in (128 * 1024, 512 * 1024):
+        sess = qz.QzSession()
+        p = qz.QzSessionParamsLZ4()
+        p.common_params.hw_buff_sz = hbs
+        assert qz.qz_setup_session_lz4(sess, p) == qz.QZ_OK
+        comp = qz.qz_compress(sess, data).data
+        d = qz.QzSession()
+        pd = qz.QzSessionParamsLZ4()
+        pd.common_params.hw_buff_sz = hbs
+        assert qz.qz_setup_session_lz4(d, pd) == qz.QZ_OK
+        strm = S.QzStream()
+        out = bytearray()
+        for i in range(0, len(comp), 4096):
+            rc, piece = S.qz_decompress_stream(
+                d, strm, comp[i:i + 4096],
+                last=1 if i + 4096 >= len(comp) else 0)
+            assert rc == qz.QZ_OK, f"hbs={hbs} rc={rc}"
+            out += piece
+        assert bytes(out) == data
