@@ -153,3 +153,29 @@ def test_packed_candidates_through_public_api(corpus_factory, monkeypatch):
     data = corpus_factory(100_000, "text")
     comp = qz.compress(data, "deflate", fmt=QzDataFormat.QZ_DEFLATE_GZIP_EXT)
     assert qz.decompress(comp, "deflate") == data
+
+
+def test_literal_pairing_engages_and_is_exact(corpus_factory):
+    """Root-literal pairing (token bit 9 + byte in 10..17) must actually
+    fire on literal-heavy input — it is ~8% of decode throughput — and the
+    paired stream must reproduce the data byte-exactly through both
+    appliers."""
+    from qatzip_tpu.native import qzcore as native
+
+    data = corpus_factory(20000, "text")
+    payload = _raw(data, 1)
+    tokens, err, outcnt, end_bit, ns = _decode_one(payload, len(data),
+                                                   use_pallas=False)
+    assert not err[0]
+    lane = np.ascontiguousarray(tokens)[:, 0]
+    lits = lane[(lane & 1) == 1]
+    paired = int(((lits & 0x200) != 0).sum())
+    assert paired > 0, "pairing never engaged on literal-heavy text"
+    # steps < symbols proves the pairing saved steps
+    nlit = int(((lane & 1) == 1).sum()) + paired
+    nmatch = int(((lane & 3) == 2).sum())
+    assert int(ns) < nlit + nmatch + 1
+    t = np.ascontiguousarray(tokens)
+    a = native.apply_tokens(t, 0, b"", 0, int(outcnt[0]))
+    b = dd._apply_tokens_py(t[:, 0], b"", int(outcnt[0]))
+    assert a == b == data
